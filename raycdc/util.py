@@ -1,0 +1,102 @@
+"""Deterministic, vectorized hashing / bucketing primitives.
+
+These replace the reference's two key-derivation strategies:
+
+* stateless deterministic remap (``UIDUtils.createNameBasedUID``,
+  reference ``DeidentifyEncryptDICOM.java:313-327``) → :func:`det_hash_hex`
+* hash-partition bucketing that replaces the global-lock ``uid_map``
+  single-writer (reference ``DeidentificationController.java:108-117``)
+  → :func:`bucket_of` (one bucket == one logical single-writer partition).
+
+All functions are pure and parallelism-independent: the same input value
+produces the same output no matter which worker, batch, or cluster size
+computed it — that property is what makes replay re-convergent
+(reference analog: MD5 pseudo-identities, ``IdentityEntry.java:28-41``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 ndarray (public PRNG mix)."""
+    z = (x + _SPLITMIX_GAMMA).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * _MIX1
+    z = (z ^ (z >> np.uint64(27))) * _MIX2
+    return z ^ (z >> np.uint64(31))
+
+
+def counter_rng_u64(seed: int, counters: np.ndarray) -> np.ndarray:
+    """Counter-based deterministic random uint64 stream: f(seed, i).
+
+    Counter-based (rather than sequential) generation is what makes
+    synthesis independent of partitioning/parallelism (SURVEY.md §7.4).
+    """
+    return splitmix64(np.uint64(seed) ^ splitmix64(counters.astype(np.uint64)))
+
+
+def str_hash_u64(values, seed: int = 0) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of a string column.
+
+    Accepts a pyarrow Array/ChunkedArray, pandas Series, list, or ndarray.
+    Uses pandas' keyed siphash (fixed default key → stable across
+    processes and runs) then a splitmix finalize with the seed.
+    """
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        ser = values.to_pandas()
+    elif isinstance(values, pd.Series):
+        ser = values
+    else:
+        ser = pd.Series(values)
+    h = pd.util.hash_pandas_object(ser.astype("object"), index=False).to_numpy(np.uint64)
+    if seed:
+        h = splitmix64(h ^ np.uint64(seed))
+    return h
+
+
+def bucket_of(keys, num_buckets: int, salt: np.ndarray | None = None) -> np.ndarray:
+    """Hash-bucket assignment for a key column (int32 result).
+
+    ``salt`` (optional uint64 ndarray, same length) spreads hot keys over
+    sub-buckets; callers that salt must run a second fold to merge the
+    salted sub-results (SURVEY.md §7.4 hot-key skew).
+    """
+    h = str_hash_u64(keys)
+    if salt is not None:
+        h = splitmix64(h ^ salt.astype(np.uint64))
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def det_hash_hex(value: str, *parts: str, n: int | None = None) -> str:
+    """Deterministic hex digest of one or more strings (md5, like the
+    reference's pseudo-identity: ``IdentityEntry.java:28-41``)."""
+    m = hashlib.md5()
+    m.update(value.encode())
+    for p in parts:
+        m.update(p.encode())
+    d = m.hexdigest()
+    return d[:n] if n else d
+
+
+def md5_hex_column(values) -> pa.Array:
+    """Vectorized-ish md5 hex over a string column (C-speed via hashlib,
+    one tight Python loop — only used in small side-table derivations)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        it = values.to_pylist()
+    else:
+        it = list(values)
+    return pa.array([hashlib.md5(v.encode()).hexdigest() if v is not None else None for v in it])
+
+
+def combine_chunks(table: pa.Table) -> pa.Table:
+    """Flatten chunked columns so numpy views are contiguous."""
+    return table.combine_chunks() if table.num_rows else table
