@@ -1,0 +1,155 @@
+"""Identity substitution: broadcast side-table lookup, deterministic
+pseudo-identity, and stateless deterministic key remapping.
+
+Reference semantics:
+* **identity side table** — CSV loaded once into a shared map, then a
+  per-record lookup drives a 3-way route: matched → substitute,
+  unmatched+generate → deterministic pseudo-entry, unmatched → the
+  ``not_matched`` relationship (``DeidentificationController.java:133-169``,
+  ``DeidentifyDICOM.java:220-234``).
+* **pseudo-identity** — MD5-derived, deterministic → idempotent under
+  replay (``IdentityEntry.java:28-41``: ``"Anonymous^" + MD5(id)[0:10]`` etc.).
+* **name-based deterministic UID remap** — stateless, consistent across
+  nodes without shared state (``DeidentifyEncryptDICOM.java:313-327``).
+
+Engine model: the side table is broadcast once (``ray.put`` on the
+driver, ``ray.get`` in each actor's ``__init__``) — a broadcast hash
+join, never a shuffle. Pseudo-identity is a pure vectorized hash column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from raycdc.routing import ROUTE_COL, ROUTE_OK, ROUTE_ORPHAN
+
+_NAMESPACE = uuid.UUID("6ba7b810-9dad-11d1-80b4-00c04fd430c8")  # RFC 4122 DNS ns
+
+
+def pseudo_id(values) -> pa.Array:
+    """Deterministic replacement id: ``anon-`` + md5(doc_id)[:16].
+    Pure → replay-reconvergent (reference golden:
+    ``DeidentifyDICOMTest.java:128-176``)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pylist()
+    return pa.array(
+        [None if v is None else "anon-" + hashlib.md5(v.encode()).hexdigest()[:16] for v in values]
+    )
+
+
+def name_based_uid(values) -> pa.Array:
+    """Stateless deterministic remap — UUIDv5 over the original key
+    (the ``createNameBasedUID`` analog). Keeps related keys consistent
+    across nodes with zero shared state."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pylist()
+    return pa.array(
+        [None if v is None else str(uuid.uuid5(_NAMESPACE, v)) for v in values]
+    )
+
+
+def load_identity_map(path_or_table) -> dict[str, tuple[str, str | None]]:
+    """Side-table loader (CSV/Parquet/Arrow) → {doc_id: (new_doc_id,
+    new_source)}. Rows with a null key are discarded (reference logs and
+    skips them, ``DeidentificationController.java:141-151``)."""
+    if isinstance(path_or_table, pa.Table):
+        t = path_or_table
+    elif str(path_or_table).endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path_or_table)
+    else:
+        import pyarrow.csv as pcsv
+
+        t = pcsv.read_csv(path_or_table)
+    out: dict[str, tuple[str, str | None]] = {}
+    cols = t.column_names
+    src = "new_source" in cols
+    for row in t.to_pylist():
+        k = row.get("doc_id")
+        if k is None:
+            continue
+        out[k] = (row.get("new_doc_id"), row.get("new_source") if src else None)
+    return out
+
+
+class IdentitySubstitute:
+    """Actor-pool stage: substitute identities from a broadcast map.
+
+    ``__init__`` runs once per actor and pulls the broadcast side table
+    out of the object store (broadcast hash join, small side). Per batch
+    (``__call__``) the lookup is a vectorized pandas ``map``.
+
+    Routing (3-way, reference ``DeidentifyDICOM.java:220-234``):
+    * matched            → substitute ``doc_id`` (and ``source`` if mapped)
+    * unmatched & generate_unmatched → deterministic pseudo-identity
+    * unmatched otherwise → ``_route = not_matched`` (orphan)
+    The original key is preserved in ``orig_doc_id`` for lineage.
+    """
+
+    def __init__(self, map_ref, generate_unmatched: bool = True, key: str = "doc_id"):
+        m = ray.get(map_ref) if isinstance(map_ref, ray.ObjectRef) else map_ref
+        self.new_id = pd.Series({k: v[0] for k, v in m.items()}, dtype=object)
+        self.new_source = pd.Series(
+            {k: v[1] for k, v in m.items() if v[1] is not None}, dtype=object
+        )
+        self.generate_unmatched = generate_unmatched
+        self.key = key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key].to_pandas().astype(object)
+        mapped = keys.map(self.new_id)
+        matched = mapped.notna().to_numpy()
+        if self.generate_unmatched:
+            pseudo = np.asarray(pseudo_id(batch[self.key]))
+            new_ids = np.where(matched, mapped.to_numpy(dtype=object), pseudo)
+            route = np.full(len(keys), ROUTE_OK, dtype=object)
+        else:
+            new_ids = np.where(matched, mapped.to_numpy(dtype=object), keys.to_numpy(dtype=object))
+            route = np.where(matched, ROUTE_OK, ROUTE_ORPHAN)
+
+        t = batch
+        if "orig_doc_id" not in t.column_names:
+            t = t.append_column("orig_doc_id", t[self.key])
+        t = t.set_column(t.column_names.index(self.key), self.key, pa.array(new_ids, type=pa.string()))
+        if "source" in t.column_names and len(self.new_source):
+            s = keys.map(self.new_source)
+            have = s.notna().to_numpy()
+            src = np.where(have, s.to_numpy(dtype=object), t["source"].to_pandas().to_numpy(dtype=object))
+            t = t.set_column(t.column_names.index("source"), "source", pa.array(src, type=pa.string()))
+        if ROUTE_COL in t.column_names:
+            # don't overwrite an existing dead_letter stamp
+            prev = np.asarray(t[ROUTE_COL])
+            route = np.where(prev == ROUTE_OK, route, prev)
+            t = t.set_column(t.column_names.index(ROUTE_COL), ROUTE_COL, pa.array(route, type=pa.string()))
+        else:
+            t = t.append_column(ROUTE_COL, pa.array(route, type=pa.string()))
+        return t
+
+
+def substitute_identities(
+    ds: ray.data.Dataset,
+    identity_map: dict,
+    generate_unmatched: bool = True,
+    key: str = "doc_id",
+    concurrency: int = 4,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Broadcast the side table once, then run the actor-pool stage."""
+    ref = ray.put(identity_map)
+    return ds.map_batches(
+        IdentitySubstitute,
+        fn_constructor_kwargs={"map_ref": ref, "generate_unmatched": generate_unmatched, "key": key},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,82 @@
+"""Validation + multi-way routing — the Relationship model of the
+reference re-expressed as a route column plus predicate splits.
+
+Reference: every processor routes each record to exactly one of
+success / failure / not_matched / reject / "not decrypted"
+(``DeidentifyDICOM.java:56-61``, ``PutDICOM.java:81-88``,
+``DecryptReidentifyDICOM.java:48-53``); malformed input is detected by a
+parse attempt whose failure diverts the record
+(``DeidentifyDICOMTest.java:178-195``: 2 success + 1 reject).
+
+Engine model: a vectorized validation stage stamps a ``_route`` column;
+downstream consumers either filter one route (streaming-friendly, no
+materialization) or ask for the route-count matrix (small aggregate).
+The dead-letter dataset IS a first-class output, mirroring the
+failure-relationship loop-back being "usually looped back" for retry
+(``PutDICOM.java:83-86``) — dead-lettered events keep full payload so
+they can be re-submitted after repair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from raycdc.synth import is_malformed_mask
+
+ROUTE_COL = "_route"
+ROUTE_OK = "ok"
+ROUTE_DEAD_LETTER = "dead_letter"
+ROUTE_ORPHAN = "not_matched"
+
+_VALID_OPS = ("insert", "update", "delete")
+
+
+def stamp_route(batch: pa.Table) -> pa.Table:
+    """Validation map: ok | dead_letter. Checks (all vectorized):
+    n_tok/token-length consistency, payload presence for non-deletes,
+    known op, non-null key, non-null lsn."""
+    n = batch.num_rows
+    bad = is_malformed_mask(batch)
+    if "op" in batch.column_names:
+        bad |= ~np.isin(np.asarray(batch["op"]), _VALID_OPS)
+    if "doc_id" in batch.column_names:
+        bad |= np.asarray(pc.is_null(batch["doc_id"]))
+    if "lsn" in batch.column_names:
+        bad |= np.asarray(pc.is_null(batch["lsn"]))
+    route = np.where(bad, ROUTE_DEAD_LETTER, ROUTE_OK)
+    if ROUTE_COL in batch.column_names:
+        return batch.set_column(batch.column_names.index(ROUTE_COL), ROUTE_COL, pa.array(route))
+    return batch.append_column(ROUTE_COL, pa.array(route))
+
+
+def validate(ds: ray.data.Dataset, batch_size: int = 65536) -> ray.data.Dataset:
+    return ds.map_batches(stamp_route, batch_format="pyarrow", batch_size=batch_size)
+
+
+def take_route(ds: ray.data.Dataset, route: str, drop_route_col: bool = True) -> ray.data.Dataset:
+    """One route as a streaming Dataset (predicate split; each call
+    re-executes upstream — cache upstream with ``materialize()`` only if
+    it is small)."""
+
+    def pick(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.equal(t[ROUTE_COL], route))
+        return out.drop_columns([ROUTE_COL]) if drop_route_col else out
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def route_counts(ds: ray.data.Dataset) -> dict[str, int]:
+    """The routing matrix (small aggregate; reference analog: per-
+    relationship assertion counts in the tests)."""
+    out = ds.groupby(ROUTE_COL).count()
+    return {r[ROUTE_COL]: r["count()"] for r in out.take_all()}
+
+
+def split_valid(ds: ray.data.Dataset, batch_size: int = 65536):
+    """Convenience: (ok_dataset, dead_letter_dataset) from a raw stream."""
+    stamped = validate(ds, batch_size=batch_size)
+    return take_route(stamped, ROUTE_OK), take_route(stamped, ROUTE_DEAD_LETTER)

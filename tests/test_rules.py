@@ -1,0 +1,140 @@
+"""Rule engine semantics (reference: ClinicalTrialsAttributes rule table +
+ModifyDICOMTags dynamic properties — SURVEY.md §2.2 M4/M7)."""
+
+import pyarrow as pa
+import pytest
+
+from raycdc.rules import BUILTIN_FNS, Rule, RuleSet
+from raycdc.synth import base_table
+
+
+def small():
+    return base_table(20, seed=3, min_len=4, max_len=8)
+
+
+def test_replace_null_remove_rename():
+    rs = RuleSet.from_config(
+        {
+            "rules": [
+                {"column": "source", "action": "replace", "value": "redacted"},
+                {"column": "n_tok", "action": "null"},
+                {"column": "nonexistent", "action": "remove"},  # present-only no-op
+                {"column": "doc_id", "action": "rename", "value": "key"},
+            ]
+        }
+    )
+    out = rs(small())
+    assert set(out["source"].to_pylist()) == {"redacted"}
+    assert out["n_tok"].null_count == 20
+    assert "key" in out.column_names and "doc_id" not in out.column_names
+
+
+def test_token_transforms_and_derive_order():
+    # derive n_tok AFTER dropping 2 tokens: ordered phases matter
+    rs = RuleSet.from_config(
+        {
+            "rules": [
+                {"column": "tokens", "action": "map", "fn": "drop_first_k", "k": 2},
+                {"column": "n_tok", "action": "derive", "fn": "recompute_len", "on": "tokens"},
+            ]
+        }
+    )
+    t = small()
+    before = t["tokens"].combine_chunks().value_lengths().to_pylist()
+    out = rs(t)
+    after = out["n_tok"].to_pylist()
+    assert after == [b - 2 for b in before]
+    # wrong order (derive then drop) gives stale lengths — derive-before-destroy
+    rs2 = RuleSet.from_config(
+        {
+            "rules": [
+                {"column": "n_tok", "action": "derive", "fn": "recompute_len", "on": "tokens"},
+                {"column": "tokens", "action": "map", "fn": "drop_first_k", "k": 2},
+            ]
+        }
+    )
+    out2 = rs2(t)
+    assert out2["n_tok"].to_pylist() == before
+
+
+def test_prefix_token():
+    t = small()
+    rs = RuleSet.from_config(
+        {"rules": [{"column": "tokens", "action": "map", "fn": "prefix_token", "token": 1}]}
+    )
+    out = rs(t)
+    got = out["tokens"].to_pylist()
+    orig = t["tokens"].to_pylist()
+    assert all(g == [1] + o for g, o in zip(got, orig))
+
+
+def test_truncate_and_sanitize():
+    t = pa.table({"path": ["a b/c!", "ok.txt"], "tokens": pa.array([[1, 2, 3], [4]], type=pa.list_(pa.int32()))})
+    rs = RuleSet.from_config(
+        {
+            "rules": [
+                {"column": "path", "action": "map", "fn": "sanitize"},
+                {"column": "tokens", "action": "map", "fn": "truncate_to_k", "k": 2},
+            ]
+        }
+    )
+    out = rs(t)
+    assert out["path"].to_pylist() == ["a_b_c_", "ok.txt"]
+    assert out["tokens"].to_pylist() == [[1, 2], [4]]
+
+
+def test_flag_gated_rules():
+    # keepDescriptors-style conditional groups
+    cfg = {
+        "rules": [
+            {"column": "source", "action": "null", "unless_flag": "keep_source"},
+            {"column": "n_tok", "action": "replace", "value": 0, "flag": "zero_counts"},
+        ],
+        "flags": {"keep_source": True, "zero_counts": False},
+    }
+    out = RuleSet.from_config(cfg)(small())
+    assert out["source"].null_count == 0  # kept
+    assert out["n_tok"].null_count == 0 and set(out["n_tok"].to_pylist()) != {0}
+    cfg["flags"] = {"keep_source": False, "zero_counts": True}
+    out = RuleSet.from_config(cfg)(small())
+    assert out["source"].null_count == 20
+    assert set(out["n_tok"].to_pylist()) == {0}
+
+
+def test_audit_columns():
+    rs = RuleSet.from_config({"rules": [], "audit": True})
+    out = rs(small())
+    assert set(out["identity_removed"].to_pylist()) == {"YES"}
+    assert "evolution_method" in out.column_names
+
+
+def test_struct_recursion():
+    # rules recurse into nested structures (ClinicalTrialsAttributes.java:2818-2842)
+    t = pa.table(
+        {
+            "doc_id": ["a", "b"],
+            "meta": pa.array(
+                [{"author": "alice", "year": 2020}, {"author": "bob", "year": 2021}],
+                type=pa.struct([("author", pa.string()), ("year", pa.int32())]),
+            ),
+        }
+    )
+    rs = RuleSet.from_config({"rules": [{"column": "meta.author", "action": "replace", "value": "x"}]})
+    out = rs(t)
+    assert [m["author"] for m in out["meta"].to_pylist()] == ["x", "x"]
+    assert [m["year"] for m in out["meta"].to_pylist()] == [2020, 2021]
+
+
+def test_cast_widen():
+    rs = RuleSet.from_config({"rules": [{"column": "n_tok", "action": "cast", "value": "int64"}]})
+    out = rs(small())
+    assert out.schema.field("n_tok").type == pa.int64()
+
+
+def test_validate_config():
+    rs = RuleSet(rules=[Rule(column="x", action="bogus")])
+    assert rs.validate(pa.schema([("x", pa.int32())]))
+    rs2 = RuleSet(rules=[Rule(column="x", action="map")])  # map without fn
+    assert rs2.validate(pa.schema([]))
+    ok = RuleSet.from_config({"rules": [{"column": "source", "action": "remove"}]})
+    assert ok.validate(pa.schema([("source", pa.string())])) == []
