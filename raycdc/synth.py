@@ -154,10 +154,17 @@ def events_table(cfg: EventGenConfig, lsn_lo: int | None = None, lsn_hi: int | N
     is_bad = u_bad < int(cfg.pct_malformed * 1_000_000)
     n_tok = np.where(is_bad, n_tok + 1, n_tok).astype(np.int32)
 
-    # deletes carry no payload
+    # deletes carry no payload: drop their token spans so null entries are
+    # zero-length (parquet rejects non-zero-length null list components)
     is_del = op_idx == 2
+    full_lens = np.asarray(tokens.value_lengths()).astype(np.int64)
+    kept_lens = np.where(is_del, 0, full_lens)
+    keep_vals = np.repeat(~is_del, full_lens)
+    new_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(kept_lens, out=new_off[1:])
+    vals = np.asarray(tokens.values)[keep_vals]
     tokens = pa.ListArray.from_arrays(
-        offsets=tokens.offsets, values=tokens.values, mask=pa.array(is_del)
+        pa.array(new_off, type=pa.int32()), pa.array(vals, type=pa.int32()), mask=pa.array(is_del)
     )
     n_tok_arr = pa.array(np.ma.masked_array(n_tok, mask=is_del))
     source_arr = pa.array(np.where(is_del, None, source))

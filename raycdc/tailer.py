@@ -1,0 +1,109 @@
+"""Changelog tailer: the ListenDICOM analog — an incremental source that
+discovers append-only parquet WAL segments and feeds uncommitted ones to
+the lake, epoch by epoch.
+
+Reference: ``ListenDICOM.java:122-190`` accepts pushed records and
+commits them into the flow; provenance ``receive`` events at
+``ListenDICOM.java:160-164``. Here the "network push" is an append-only
+directory of parquet segments (the shape a Debezium/binlog archiver
+produces); discovery is a directory listing diffed against the lake
+manifest, so the tailer is stateless and restart-safe — the manifest IS
+the consumer offset.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import pyarrow as pa
+
+import ray.data
+
+from raycdc.lake import LakeTable
+from raycdc.routing import split_valid
+
+
+def list_segments(log_dir: str, suffix: str = ".parquet") -> list[str]:
+    """Sorted segment names (sort order == append order by naming
+    convention seg-NNNNN)."""
+    return sorted(f for f in os.listdir(log_dir) if f.endswith(suffix))
+
+
+def pending_segments(lake: LakeTable, log_dir: str) -> list[str]:
+    done = set(lake.manifest()["segments_applied"])
+    return [s for s in list_segments(log_dir) if s not in done]
+
+
+def read_segments(log_dir: str, names: list[str]) -> ray.data.Dataset:
+    """Segment reader with provenance: adds a `_segment` column so every
+    row can be traced to its source file (provenance-receive analog)."""
+    paths = [os.path.join(log_dir, n) for n in names]
+    ds = ray.data.read_parquet(paths, include_paths=True)
+
+    def provenance(t: pa.Table) -> pa.Table:
+        seg = pa.array([os.path.basename(p) for p in t.column("path").to_pylist()])
+        t = t.drop_columns(["path"])
+        return t.append_column("_segment", seg)
+
+    return ds.map_batches(provenance, batch_format="pyarrow")
+
+
+def tail_once(
+    lake: LakeTable,
+    log_dir: str,
+    max_segments_per_epoch: int | None = None,
+    transform: Callable[[ray.data.Dataset], ray.data.Dataset] | None = None,
+    dead_letter_dir: str | None = None,
+    batch_size: int = 65536,
+) -> dict | None:
+    """Apply ONE epoch of pending segments (or None if fully caught up).
+
+    Flow: discover → read (with provenance) → validate/split →
+    [optional transform, e.g. a RuleSet stage] → lake.apply (exactly-once).
+    Dead letters are written to ``dead_letter_dir`` partitioned by epoch,
+    keeping full payload for repair (failure-loopback analog,
+    ``PutDICOM.java:83-86``).
+    """
+    todo = pending_segments(lake, log_dir)
+    if not todo:
+        return None
+    if max_segments_per_epoch:
+        todo = todo[:max_segments_per_epoch]
+    ds = read_segments(log_dir, todo)
+    ds = ds.map_batches(lambda t: t.drop_columns(["_segment"]), batch_format="pyarrow")
+    ok, dead = split_valid(ds, batch_size=batch_size)
+    if dead_letter_dir is not None:
+        epoch = lake.manifest()["epoch"] + 1
+        d = os.path.join(dead_letter_dir, f"epoch={epoch:06d}")
+        # count() consumes the stream; only write when non-empty to keep
+        # the dead-letter dir free of empty marker dirs
+        os.makedirs(d, exist_ok=True)
+        dead.write_parquet(d)
+    if transform is not None:
+        ok = transform(ok)
+    return lake.apply(ok, todo, batch_size=batch_size)
+
+
+def tail_until_caught_up(
+    lake: LakeTable,
+    log_dir: str,
+    max_segments_per_epoch: int | None = None,
+    transform=None,
+    dead_letter_dir: str | None = None,
+    batch_size: int = 65536,
+) -> list[dict]:
+    """Drain the log: repeat tail_once until no pending segments."""
+    out = []
+    while True:
+        r = tail_once(
+            lake,
+            log_dir,
+            max_segments_per_epoch=max_segments_per_epoch,
+            transform=transform,
+            dead_letter_dir=dead_letter_dir,
+            batch_size=batch_size,
+        )
+        if r is None:
+            return out
+        out.append(r)

@@ -1,0 +1,237 @@
+"""Exactly-once lake: epoch/manifest commit, idempotent re-apply, crash
+recovery, tombstone semantics, resume equivalence, tailer drain.
+
+Reference analogs: session commit atomicity (`DeidentifyDICOM.java:192`),
+durable uid_map (`DeidentificationController.java:93-99`), retry-by-
+requeue (`PutDICOM.java:83-86`), replay/resume equivalence (north rule).
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+import raycdc.lake as lake_mod
+from raycdc.apply import base_as_inserts
+from raycdc.lake import LakeTable
+from raycdc.routing import split_valid
+from raycdc.synth import (
+    EventGenConfig,
+    base_table,
+    events_table,
+    fold_events,
+    is_malformed_mask,
+    with_replays_and_disorder,
+    write_changelog,
+)
+from raycdc.tailer import pending_segments, tail_once, tail_until_caught_up
+
+
+def canon(t: pa.Table) -> pa.Table:
+    return t.select(sorted(t.column_names)).sort_by("doc_id").combine_chunks()
+
+
+def assert_eq(a: pa.Table, b: pa.Table):
+    a, b = canon(a), canon(b)
+    assert a.num_rows == b.num_rows
+    for c in a.column_names:
+        assert a[c].cast(b[c].type).combine_chunks().equals(b[c].combine_chunks()), c
+
+
+def collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return pa.concat_tables(batches, promote_options="permissive") if batches else pa.table({})
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    lk = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+    lk.init()
+    return lk
+
+
+def seeded_lake(lk: LakeTable, base: pa.Table):
+    lk.apply(base_as_inserts(rd.from_arrow(base)), ["__base__"], batch_size=256)
+    return lk
+
+
+def make_log(tmp_path, n_events=2000, n_base=150, seed=19, n_segments=5, **kw):
+    cfg = EventGenConfig(
+        n_events=n_events, n_base=n_base, seed=seed, min_len=4, max_len=12,
+        dup_replay_rate=0.05, **kw
+    )
+    log_dir = str(tmp_path / "log")
+    write_changelog(log_dir, cfg, n_segments=n_segments)
+    base = base_table(n_base, seed=seed, min_len=4, max_len=12)
+    all_events = pa.concat_tables([pq.read_table(os.path.join(log_dir, f)) for f in sorted(os.listdir(log_dir))])
+    return base, log_dir, all_events
+
+
+def test_init_idempotent(tmp_path):
+    lk = LakeTable(str(tmp_path / "l"), num_partitions=4)
+    m1 = lk.init()
+    m2 = lk.init()
+    assert m1 == m2 and m1["epoch"] == 0
+
+
+def test_apply_and_read_matches_oracle(lake, tmp_path):
+    base, log_dir, all_events = make_log(tmp_path)
+    seeded_lake(lake, base)
+    res = tail_until_caught_up(lake, log_dir, batch_size=256)
+    assert len(res) == 1  # all segments in one epoch by default
+    golden = fold_events(base, all_events)
+    assert_eq(collect(lake.read()), golden)
+    m = lake.manifest()
+    assert m["epoch"] == 2
+    assert len(m["segments_applied"]) == 6  # __base__ + 5 segments
+
+
+def test_epoch_per_segment_resume_equivalence(lake, tmp_path):
+    """Full replay (one epoch) ≡ segment-at-a-time replay (many epochs) —
+    the checkpoint-resume equivalence gate."""
+    base, log_dir, all_events = make_log(tmp_path, seed=23)
+    seeded_lake(lake, base)
+    res = tail_until_caught_up(lake, log_dir, max_segments_per_epoch=1, batch_size=256)
+    assert len(res) == 5
+    golden = fold_events(base, all_events)
+    assert_eq(collect(lake.read()), golden)
+    # watermarks recorded per partition
+    m = lake.manifest()
+    assert all(p["watermark"] >= -1 for p in m["partitions"].values())
+
+
+def test_reapply_same_segments_is_noop(lake, tmp_path):
+    base, log_dir, _ = make_log(tmp_path, seed=29)
+    seeded_lake(lake, base)
+    tail_until_caught_up(lake, log_dir, batch_size=256)
+    m1 = lake.manifest()
+    # tailer finds nothing pending; direct re-apply of same names is a no-op
+    assert pending_segments(lake, log_dir) == []
+    r = lake.apply(rd.from_arrow(base_table(0, seed=1)), sorted(os.listdir(log_dir)))
+    assert r.get("noop") is True
+    assert lake.manifest() == m1
+
+
+def test_partial_overlap_rejected(lake, tmp_path):
+    base, log_dir, _ = make_log(tmp_path, seed=31, n_segments=3)
+    seeded_lake(lake, base)
+    segs = sorted(os.listdir(log_dir))
+    ev = rd.read_parquet([os.path.join(log_dir, segs[0])])
+    lake.apply(ev, [segs[0]], batch_size=256)
+    with pytest.raises(ValueError, match="partially committed"):
+        lake.apply(ev, [segs[0], segs[1]], batch_size=256)
+
+
+def test_crash_between_epoch_write_and_manifest_swap(lake, tmp_path, monkeypatch):
+    """Kill the commit after state files are written but before the
+    manifest swap → manifest still at old epoch → re-run reconverges."""
+    base, log_dir, all_events = make_log(tmp_path, seed=37, n_segments=2)
+    seeded_lake(lake, base)
+    real_write = lake_mod._atomic_write_json
+    calls = {"n": 0}
+
+    def crashing_write(path, obj):
+        calls["n"] += 1
+        raise OSError("simulated crash before manifest swap")
+
+    monkeypatch.setattr(lake_mod, "_atomic_write_json", crashing_write)
+    with pytest.raises(OSError):
+        tail_once(lake, log_dir, batch_size=256)
+    monkeypatch.setattr(lake_mod, "_atomic_write_json", real_write)
+    # lake still at the seeded epoch; orphan epoch files on disk are ignored
+    assert lake.manifest()["epoch"] == 1
+    tail_until_caught_up(lake, log_dir, batch_size=256)
+    assert_eq(collect(lake.read()), fold_events(base, all_events))
+
+
+def test_tombstone_prevents_resurrection(lake):
+    """delete applied in epoch k; replaying the pre-delete insert later
+    must NOT resurrect the row (at-least-once tolerance via tombstones)."""
+    ins = pa.table(
+        {
+            "lsn": pa.array([1], type=pa.int64()),
+            "op": ["insert"],
+            "doc_id": ["k1"],
+            "tokens": pa.array([[1, 2]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2], type=pa.int32()),
+            "source": ["web"],
+        }
+    )
+    dele = pa.table(
+        {
+            "lsn": pa.array([2], type=pa.int64()),
+            "op": ["delete"],
+            "doc_id": ["k1"],
+            "tokens": pa.array([None], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([None], type=pa.int32()),
+            "source": pa.array([None], type=pa.string()),
+        }
+    )
+    lake.apply(rd.from_arrow(ins), ["s1"])
+    lake.apply(rd.from_arrow(dele), ["s2"])
+    assert collect(lake.read()).num_rows == 0
+    # replay the old insert as a "new" segment (late duplicate delivery)
+    lake.apply(rd.from_arrow(ins), ["s3"])
+    assert collect(lake.read()).num_rows == 0  # tombstone wins (lsn 2 > 1)
+    # compaction drops the tombstone; count is exact
+    assert lake.compact_tombstones() == 1
+    assert collect(lake.read()).num_rows == 0
+
+
+def test_late_first_event_for_untouched_key_is_applied(lake):
+    """Regression guard for the per-partition-watermark pitfall: key B's
+    first event has a lower lsn than an already-applied event for key A
+    in the same partition — it must still apply."""
+    a = pa.table(
+        {
+            "lsn": pa.array([100], type=pa.int64()),
+            "op": ["insert"],
+            "doc_id": ["a"],
+            "tokens": pa.array([[1]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1], type=pa.int32()),
+            "source": ["web"],
+        }
+    )
+    b = pa.table(
+        {
+            "lsn": pa.array([5], type=pa.int64()),
+            "op": ["insert"],
+            "doc_id": ["b"],
+            "tokens": pa.array([[7]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1], type=pa.int32()),
+            "source": ["web"],
+        }
+    )
+    lake.apply(rd.from_arrow(a), ["sA"])
+    lake.apply(rd.from_arrow(b), ["sB"])
+    assert collect(lake.read()).num_rows == 2
+
+
+def test_dead_letter_sink(lake, tmp_path):
+    base, log_dir, all_events = make_log(tmp_path, seed=41, pct_malformed=0.1)
+    seeded_lake(lake, base)
+    dl_dir = str(tmp_path / "dead")
+    tail_until_caught_up(lake, log_dir, dead_letter_dir=dl_dir, batch_size=256)
+    import numpy as np
+
+    n_bad = int(is_malformed_mask(all_events).sum())
+    dead = pq.read_table(dl_dir) if n_bad else None
+    assert dead is not None and dead.num_rows == n_bad
+    # dead letters keep full payload and the engine result matches oracle
+    assert set(dead.column_names) >= {"lsn", "op", "doc_id", "tokens", "n_tok", "source"}
+    assert_eq(collect(lake.read()), fold_events(base, all_events))
+
+
+def test_vacuum_removes_unreferenced_epochs(lake, tmp_path):
+    base, log_dir, _ = make_log(tmp_path, seed=43, n_segments=3)
+    seeded_lake(lake, base)
+    tail_until_caught_up(lake, log_dir, max_segments_per_epoch=1, batch_size=256)
+    state_root = os.path.join(lake.path, "state")
+    before = sum(len(fs) for _, _, fs in os.walk(state_root))
+    removed = lake.vacuum(keep_epochs=1)
+    after = sum(len(fs) for _, _, fs in os.walk(state_root))
+    assert removed and after == before - len(removed)
+    # the referenced (current) files all survive and the table still reads
+    assert collect(lake.read()).num_rows > 0
