@@ -1,44 +1,479 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the raycdc engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data extras); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one, with matching
+column names. Non-SQL-expressible entries (the synthesized-token CDC
+replay, MinHash/SimHash near-dup, language-ID, ANN variants) are
+rows-only checked by the driver.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
+import ray
+import ray.data as rd
+
+
+def _ev(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# --------------------------------------------------------------------- CDC
+def q_cdc_lww_latest(sf_dir: str):
+    """Keyed LWW apply over the events stream (T2/J5 analog):
+    the highest-lsn (event_id) row wins per user_id."""
+    from raycdc.apply import lww_apply
+
+    ds = _ev(sf_dir).map_batches(
+        lambda t: t.select(["user_id", "event_id", "event_type", "value"])
+        .append_column("lsn", t["event_id"].cast(pa.int64()))
+        .drop_columns(["event_id"]),
+        batch_format="pyarrow",
+    )
+    out = lww_apply(ds, key="user_id", num_buckets=16, meta_drop=("op",))
+    return out.map_batches(
+        lambda t: t.select(["user_id", "lsn", "event_type", "value"]).set_column(
+            3, "value", pc.round(t["value"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_cdc_first_writer(sf_dir: str):
+    """First-writer-wins dedup index stats (uid_map MERGE analog, D1/A2):
+    per key, the first lsn and the total event count — via combiner-style
+    partial aggregation (no full-row shuffle)."""
+    from raycdc.ops import partial_groupby_agg
+
+    return partial_groupby_agg(
+        _ev(sf_dir),
+        "user_id",
+        {"first_lsn": ("event_id", "min"), "n_events": ("event_id", "count")},
+    )
+
+
+def q_cdc_route_matrix(sf_dir: str):
+    """Multi-way relationship routing counts (M5/routing analog)."""
+    from raycdc.ops import partial_groupby_agg
+
+    def stamp(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"])
+        val = t["value"].to_numpy(zero_copy_only=False)
+        route = np.where(et == "error", "dead_letter", np.where(val > 450, "review", "ok"))
+        return t.append_column("route", pa.array(route, type=pa.string()))
+
+    stamped = _ev(sf_dir).map_batches(stamp, batch_format="pyarrow")
+    return partial_groupby_agg(stamped, "route", {"n": ("route", "count")})
+
+
+def q_cdc_orphan_routing(sf_dir: str):
+    """Anti-join routing (J3, not_matched relationship): events whose key
+    is absent from the nation side table, via broadcast membership."""
+    from raycdc.ops import broadcast_membership, partial_groupby_agg
+
+    keys = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey"])[
+        "n_nationkey"
+    ].to_numpy()
+    ds = broadcast_membership(_ev(sf_dir), "user_id", set(keys.tolist()), out_col="matched")
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "route",
+            pa.array(np.where(np.asarray(t["matched"]), "ok", "not_matched"), type=pa.string()),
+        ),
+        batch_format="pyarrow",
+    )
+    return partial_groupby_agg(ds, "route", {"n": ("route", "count")})
+
+
+def q_cdc_date_shift(sf_dir: str):
+    """Grouped-min-then-shift (M10/A3 HandleDates analog): every event's
+    offset in microseconds from its key's earliest timestamp."""
+    from raycdc.ops import grouped_min_broadcast
+
+    ds = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id"]).append_column(
+            "ts_us", t["ts"].cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    mins = grouped_min_broadcast(ds, "user_id", "ts_us")
+    ref = ray.put(mins)
+
+    class Shift:
+        def __init__(self):
+            import pandas as pd
+
+            self.mins = pd.Series(ray.get(ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            base = t["user_id"].to_pandas().map(self.mins).to_numpy(np.int64)
+            shift = t["ts_us"].to_numpy() - base
+            return t.select(["event_id", "user_id"]).append_column(
+                "shift_us", pa.array(shift, type=pa.int64())
+            )
+
+    return ds.map_batches(Shift, batch_format="pyarrow", concurrency=2)
+
+
+def q_pseudo_identity(sf_dir: str):
+    """Deterministic pseudo-identity generation (T4 analog —
+    IdentityEntry.createPseudoEntry): MD5-derived id, display name, and
+    accession-style digest; pure, replay-stable."""
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = [str(v) for v in t["doc_id"].to_pylist()]
+        src = t["source"].to_pylist()
+        anon = [hashlib.md5(i.encode()).hexdigest() for i in ids]
+        name = ["Anonymous^" + a[:10].upper() for a in anon]
+        acc = [hashlib.md5((i + s).encode()).hexdigest()[:16] for i, s in zip(ids, src)]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "anon_id": pa.array(anon),
+                "anon_name": pa.array(name),
+                "accession": pa.array(acc),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(gen, batch_format="pyarrow")
+
+
+def q_cdc_replay_tokens(sf_dir: str):
+    """THE flagship (north star): full CDC replay over the synthesized
+    pre-tokenized-sequence table — changelog tail → validate/dead-letter
+    → keyed LWW upsert → exactly-once partitioned Parquet lake. Returns
+    the converged table. Non-SQL (rows-only check); correctness vs the
+    single-process oracle fold is pytest-gated (tests/test_lake.py,
+    tests/test_pipeline_e2e.py)."""
+    from raycdc.pipelines import cdc_replay
+
+    return cdc_replay(sf_dir).map_batches(
+        lambda t: t.sort_by("doc_id"), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------- relational
+def q_q1_lineitem(sf_dir: str):
+    """Pre-aggregated grouped sums (the partial/combiner pattern)."""
+    from raycdc.ops import partial_groupby_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("rev", rev)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    agg = partial_groupby_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"), "revenue": ("rev", "sum"), "n": ("l_quantity", "count")},
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(t.column_names.index("sum_qty"), "sum_qty", pc.round(t["sum_qty"], 2))
+        .set_column(t.column_names.index("revenue"), "revenue", pc.round(t["revenue"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+# ------------------------------------------------------------------- dedup
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash groups with first-writer winner (D1)."""
+    from raycdc.ops import partial_groupby_agg
+
+    def h(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"h": pa.array(hs), "doc_id": t["doc_id"]})
+
+    ds = _docs(sf_dir).map_batches(h, batch_format="pyarrow")
+    return partial_groupby_agg(ds, "h", {"keep_id": ("doc_id", "min"), "dups": ("doc_id", "count")})
+
+
+# -------------------------------------------------------------------- text
+def q_text_token_count(sf_dir: str):
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], pattern=r"\S+").cast(pa.int64())
+        bpe = pc.count_substring_regex(t["text"], pattern=r"[A-Za-z]+|\d|[^\sA-Za-z\d]").cast(
+            pa.int64()
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_words": n, "n_bpe_tokens": bpe, "n_chars": t["n_chars"]}
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_text_stats(sf_dir: str):
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_alpha_runs": pc.count_substring_regex(t["text"], pattern=r"[a-z]+").cast(pa.int64()),
+                "n_digits": pc.count_substring_regex(t["text"], pattern=r"\d").cast(pa.int64()),
+                "n_len": pc.utf8_length(t["text"]).cast(pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_text_fingerprint(sf_dir: str):
+    """Document fingerprint: md5 of whitespace-normalized lowercased text."""
+
+    def f(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(re.sub(r"\s+", " ", x.lower().strip()).encode()).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fps)})
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- similarity
+def q_knn_brute(sf_dir: str):
+    """Brute-force cosine top-10 to the vec_id=0 query vector: per-batch
+    numpy matmul against a broadcast query, then a tiny global top-k."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path)
+    qv = np.asarray(qt.filter(pc.equal(qt["vec_id"], 0))["embedding"].to_pylist()[0], dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    ref = ray.put(qv)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = t["embedding"].combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(len(emb), -1)
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ self.q) / np.where(norms == 0, 1, norms)
+            out = pa.table(
+                {"vec_id": t["vec_id"], "sim": pa.array(np.round(sims, 6), type=pa.float64())}
+            )
+            # local top-k prune: only candidates leave the batch
+            idx = pc.sort_indices(
+                out, sort_keys=[("sim", "descending"), ("vec_id", "ascending")]
+            )[:10]
+            return out.take(idx)
+
+    ds = rd.read_parquet(emb_path).map_batches(Score, batch_format="pyarrow", concurrency=2)
+    return ds.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
+
+
+def q_embedding_cosine_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs, exact mode (single bucket) so the
+    SQL oracle matches; the LSH-bucketed scale path is the
+    embedding_near_dup_lsh (rows-only) entry."""
+    from raycdc.extras.dedup import embedding_near_dup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = embedding_near_dup(ds, threshold=0.40, n_planes=0)
+    return out.map_batches(lambda t: t.drop_columns(["_bucket"]) if "_bucket" in t.column_names else t,
+                           batch_format="pyarrow")
+
+
+def q_embedding_near_dup_lsh(sf_dir: str):
+    """The scale path: random-hyperplane LSH bucketing before in-bucket
+    verification (recall < 1 by design → rows-only check)."""
+    from raycdc.extras.dedup import embedding_near_dup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dup(ds, threshold=0.40, n_planes=4)
+
+
+def q_minhash_near_dup(sf_dir: str):
+    from raycdc.extras.dedup import minhash_near_dup
+
+    return minhash_near_dup(
+        _docs(sf_dir), threshold=0.5, k_shingle=3, num_perm=32, bands=16, batch_size=256
+    )
+
+
+def q_simhash_signatures(sf_dir: str):
+    from raycdc.extras.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(sf_dir))
+
+
+def q_lang_id(sf_dir: str):
+    from raycdc.extras.text import LangId
+
+    return _docs(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", batch_size=256, concurrency=2
+    ).map_batches(lambda t: t.select(["doc_id", "lang_pred", "lang_hits"]), batch_format="pyarrow")
+
+
+def q_text_quality(sf_dir: str):
+    from raycdc.extras.text import QualityScore
+
+    return _docs(sf_dir).map_batches(
+        QualityScore, batch_format="pyarrow", batch_size=256, concurrency=2
+    ).map_batches(
+        lambda t: t.select(["doc_id", "stop_ratio", "mean_word_len", "punct_ratio", "quality"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF ANN: k-means coarse quantizer + nprobe pruned scan (approximate
+    → rows-only check; exactness vs brute is pytest-gated)."""
+    from raycdc.extras.similarity import IVFIndex
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path)
+    qv = np.asarray(qt.filter(pc.equal(qt["vec_id"], 0))["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = rd.read_parquet(emb_path)
+    idx = IVFIndex(n_clusters=8, n_iter=5).fit(ds)
+    return idx.search(idx.assign(ds), qv, k=10, nprobe=4)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing: deterministic fake media + actor-pool decode
+    (real decoder stubbed — no image libs in container)."""
+    from raycdc.extras.multimodal import attach_fake_media, decode_features
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.append_column("did", pc.cast(t["doc_id"], pa.string())), batch_format="pyarrow"
+    )
+    return decode_features(attach_fake_media(docs, id_col="did"), concurrency=2, batch_size=128)
+
+
+# ---------------------------------------------------------------- registry
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
+    return q_cdc_replay_tokens("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_lww_latest": q_cdc_lww_latest,
+        "cdc_first_writer": q_cdc_first_writer,
+        "cdc_route_matrix": q_cdc_route_matrix,
+        "cdc_orphan_routing": q_cdc_orphan_routing,
+        "cdc_date_shift": q_cdc_date_shift,
+        "cdc_replay_tokens": q_cdc_replay_tokens,
+        "pseudo_identity": q_pseudo_identity,
+        "q1_lineitem": q_q1_lineitem,
+        "dedup_exact": q_dedup_exact,
+        "text_token_count": q_text_token_count,
+        "text_stats": q_text_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "knn_brute": q_knn_brute,
+        "knn_ivf": q_knn_ivf,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_signatures": q_simhash_signatures,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_lww_latest": """
+            SELECT user_id, event_id AS lsn, event_type, round(value, 2) AS value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1
+        """,
+        "cdc_first_writer": """
+            SELECT user_id, min(event_id) AS first_lsn, count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "cdc_route_matrix": """
+            SELECT CASE WHEN event_type = 'error' THEN 'dead_letter'
+                        WHEN value > 450 THEN 'review'
+                        ELSE 'ok' END AS route,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "cdc_orphan_routing": """
+            SELECT CASE WHEN user_id IN (SELECT n_nationkey FROM nation)
+                        THEN 'ok' ELSE 'not_matched' END AS route,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "cdc_date_shift": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS shift_us
+            FROM events
+        """,
+        "pseudo_identity": """
+            SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR)) AS anon_id,
+                   'Anonymous^' || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS anon_name,
+                   substr(md5(CAST(doc_id AS VARCHAR) || source), 1, 16) AS accession
+            FROM documents
+        """,
+        "q1_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_words,
+                   len(regexp_extract_all(text, '[A-Za-z]+|\\d|[^\\sA-Za-z\\d]')) AS n_bpe_tokens,
+                   n_chars
+            FROM documents
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs,
+                   len(regexp_extract_all(text, '\\d')) AS n_digits,
+                   length(text) AS n_len
+            FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "knn_brute": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+            FROM embeddings e, q
+            ORDER BY sim DESC, e.vec_id
+            LIMIT 10
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.40
+        """,
+    }

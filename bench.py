@@ -1,0 +1,172 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <headline sec>, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+ "events_per_sec": ...}
+
+Headline = the flagship CDC replay (synthesized tokenized-sequence
+changelog → validated → LWW-applied → exactly-once Parquet lake), the
+north-star metric being change-events/sec to converged state.
+
+--scaling: runs the same job twice in fresh processes at num_cpus=8 and
+num_cpus=32 on the same (pre-generated, page-cache-warmed) input and
+reports both throughputs + scaling efficiency (the in-sandbox stand-in
+for the N vs 4N cluster-size criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# /dev/shm: tmpfs page population is fast in this sandbox while regular
+# file-backed/anon first-touch is pathologically slow (BASELINE.md)
+WORK_ROOT = os.environ.get("RAYCDC_BENCH_WORK", "/dev/shm/raycdc_bench")
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as e
+    from raycdc.pipelines import SCALE_PRESETS, ensure_synth_inputs, sf_of
+
+    sf = sf_of(SF_DIR)
+    n_base, n_events, num_partitions, n_segments, min_len, max_len = SCALE_PRESETS.get(
+        sf, SCALE_PRESETS["0.1"]
+    )
+    # scaling-run overrides: a larger event count / segment fan-out makes
+    # scalable work dominate the per-epoch fixed costs (see BASELINE.md)
+    n_events = int(os.environ.get("RAYCDC_BENCH_EVENTS", n_events))
+    n_segments = int(os.environ.get("RAYCDC_BENCH_SEGMENTS", n_segments))
+    num_partitions = int(os.environ.get("RAYCDC_BENCH_PARTITIONS", num_partitions))
+
+    # untimed: synthesis is cached on disk (ray-parallel on first run);
+    # warm the page cache with one read
+    base_dir, log_dir = ensure_synth_inputs(
+        WORK_ROOT, n_base, n_events, n_segments, min_len=min_len, max_len=max_len
+    )
+    for d in (base_dir, log_dir):
+        for f in os.listdir(d):
+            with open(os.path.join(d, f), "rb") as fh:
+                fh.read()
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: CDC replay to converged lake
+    from raycdc.pipelines import cdc_replay
+
+    def replay():
+        return cdc_replay(
+            SF_DIR,
+            work_root=WORK_ROOT,
+            n_base=n_base,
+            n_events=n_events,
+            num_partitions=num_partitions,
+            n_segments=n_segments,
+            min_len=min_len,
+            max_len=max_len,
+        )
+
+    # untimed warm-up replay: faults worker heaps / object store pages once
+    # (this sandbox's first-touch page population is pathologically slow
+    # AND noisy — see BASELINE.md; warmed-steady-state is the comparable
+    # regime). Timed value = min of N passes to suppress host noise.
+    replay().count()
+
+    n_rows = 0
+    headline = float("inf")
+    for _ in range(int(os.environ.get("RAYCDC_BENCH_PASSES", "2"))):
+        t0 = time.time()
+        ds = replay()
+        n_rows = ds.count()
+        headline = min(headline, time.time() - t0)
+    timings["cdc_replay_tokens"] = round(headline, 3)
+
+    # ---- secondary pipelines over the driver-provided sf tables
+    def consume(res):
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            for _ in res.iter_batches(batch_size=None, batch_format="pyarrow"):
+                pass
+        return res
+
+    qs = e.queries()
+    for name in ("cdc_lww_latest", "cdc_first_writer", "cdc_date_shift", "q1_lineitem",
+                 "dedup_exact", "text_token_count", "knn_brute"):
+        if name not in qs:
+            continue
+        t0 = time.time()
+        consume(qs[name](SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "cdc_replay_wall_sec",
+        "value": timings["cdc_replay_tokens"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_events": n_events,
+        "rows_converged": n_rows,
+        "events_per_sec": round(n_events / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # a larger event count + segment fan-out so scalable work dominates
+        # per-epoch fixed costs; overridable from the environment
+        env.setdefault("RAYCDC_BENCH_EVENTS", "4000000")
+        env.setdefault("RAYCDC_BENCH_SEGMENTS", "32")
+        env.setdefault("RAYCDC_BENCH_PASSES", "2")
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    # warm-up generation pass (untimed, also primes the OS page cache)
+    one(8)
+    lo, hi = one(8), one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "cdc_replay_scaling",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "events_per_sec_8": lo["events_per_sec"],
+        "events_per_sec_32": hi["events_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+        "n_events": lo["n_events"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -110,13 +110,21 @@ def _with_bucket(batch: pa.Table, key: str, num_buckets: int, salt_col: str | No
     return batch.append_column("_bucket", pa.array(b))
 
 
-def _final_fold(key: str, lsn_col: str, op_col: str, drop_meta: bool, drop_tomb: bool = True):
+def _final_fold(
+    key: str,
+    lsn_col: str,
+    op_col: str,
+    drop_meta: bool,
+    drop_tomb: bool = True,
+    meta_drop: tuple | None = None,
+):
     def fold(group: pa.Table) -> pa.Table:
         out = last_writer_per_key(group, key, lsn_col)
         if drop_tomb:
             out = drop_tombstones(out, op_col)
         if drop_meta:
-            drop = [c for c in (*META_COLS, lsn_col, op_col) if c in out.column_names]
+            to_drop = meta_drop if meta_drop is not None else (lsn_col, op_col)
+            drop = [c for c in (*META_COLS, *to_drop) if c in out.column_names]
             out = out.drop_columns(drop)
         return out
 
@@ -154,6 +162,7 @@ def lww_apply(
     batch_size: int = 65536,
     drop_meta: bool = True,
     salt_buckets: int = 1,
+    meta_drop: tuple | None = None,
 ) -> ray.data.Dataset:
     """Distributed LWW apply: events (+ optional base) → converged table.
 
@@ -188,5 +197,6 @@ def lww_apply(
             lambda t: _with_bucket(t, key, num_buckets), batch_format="pyarrow"
         )
     return ds.groupby("_bucket").map_groups(
-        _final_fold(key, lsn_col, op_col, drop_meta), batch_format="pyarrow"
+        _final_fold(key, lsn_col, op_col, drop_meta, meta_drop=meta_drop),
+        batch_format="pyarrow",
     )

@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (``list<float>``):
+brute-force cosine top-k as the exact baseline, IVF (inverted-file,
+k-means coarse quantizer) as the scale path.
+
+Scale shape: the query matrix is broadcast once (``ray.put``); each
+batch scores locally with one numpy matmul and emits only its local
+top-k, so the global reduce sees k × n_batches candidate rows, never
+the corpus. IVF prunes the scan to ``nprobe`` of ``n_clusters``
+partitions — the partitioning assumption is that cluster sizes are
+roughly balanced (k-means on a seeded sample)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(col), -1)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1
+    return mat / norms[:, None]
+
+
+def knn_brute(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 4,
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Exact cosine top-k: per-batch matmul vs broadcast query + local
+    prune, tiny global sort-limit. ``query`` may be (d,) or (q, d)."""
+    q = np.atleast_2d(np.asarray(query, dtype=np.float64))
+    q = _normalize(q)
+    ref = ray.put(q)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _normalize(_to_matrix(t[emb_col]))
+            sims = mat @ self.q.T  # (n, q)
+            outs = []
+            for qi in range(sims.shape[1]):
+                tt = pa.table(
+                    {
+                        "query_id": pa.array(np.full(len(mat), qi, dtype=np.int64)),
+                        id_col: t[id_col],
+                        "sim": pa.array(np.round(sims[:, qi], 6), type=pa.float64()),
+                    }
+                )
+                idx = pc.sort_indices(tt, sort_keys=[("sim", "descending"), (id_col, "ascending")])[:k]
+                outs.append(tt.take(idx))
+            return pa.concat_tables(outs)
+
+    scored = ds.map_batches(Score, batch_format="pyarrow", batch_size=batch_size,
+                            concurrency=concurrency)
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("sim", "descending"), (id_col, "ascending")])[:k]
+        return g.take(idx)
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
+class IVFIndex:
+    """Inverted-file index: k-means coarse quantizer fit on a seeded
+    sample (driver-side numpy Lloyd iterations), cluster assignment as a
+    ``map_batches`` stage, search probing the ``nprobe`` nearest
+    centroids. Assignment output is a bucketed dataset reusable across
+    queries (build once, query many)."""
+
+    def __init__(self, n_clusters: int = 16, n_iter: int = 10, seed: int = 42,
+                 emb_col: str = "embedding", id_col: str = "vec_id"):
+        self.n_clusters = n_clusters
+        self.n_iter = n_iter
+        self.seed = seed
+        self.emb_col, self.id_col = emb_col, id_col
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, ds: ray.data.Dataset, sample_fraction: float = 1.0) -> "IVFIndex":
+        sample = ds if sample_fraction >= 1.0 else ds.random_sample(sample_fraction, seed=self.seed)
+        mats = [
+            _normalize(_to_matrix(b[self.emb_col]))
+            for b in sample.iter_batches(batch_size=None, batch_format="pyarrow")
+        ]
+        x = np.vstack(mats)
+        rng = np.random.default_rng(self.seed)
+        c = x[rng.choice(len(x), size=min(self.n_clusters, len(x)), replace=False)]
+        for _ in range(self.n_iter):
+            assign = np.argmax(x @ c.T, axis=1)
+            for j in range(len(c)):
+                pts = x[assign == j]
+                if len(pts):
+                    v = pts.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        c[j] = v / n
+        self.centroids = c
+        return self
+
+    def assign(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        ref = ray.put(self.centroids)
+        emb_col = self.emb_col
+
+        class Assign:
+            def __init__(self):
+                self.c = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                mat = _normalize(_to_matrix(t[emb_col]))
+                cl = np.argmax(mat @ self.c.T, axis=1).astype(np.int32)
+                return t.append_column("_cluster", pa.array(cl))
+
+        return ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+
+    def search(self, assigned: ray.data.Dataset, query: np.ndarray, k: int = 10,
+               nprobe: int = 4) -> ray.data.Dataset:
+        """Probe the nprobe nearest clusters only (the pruned scan)."""
+        q = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float64)))[0]
+        probe = np.argsort(-(self.centroids @ q))[:nprobe].astype(np.int32)
+        probe_set = pa.array(probe.tolist(), type=pa.int32())
+        pruned = assigned.map_batches(
+            lambda t: t.filter(pc.is_in(t["_cluster"], value_set=probe_set)),
+            batch_format="pyarrow",
+        )
+        return knn_brute(pruned, q, k=k, emb_col=self.emb_col, id_col=self.id_col)

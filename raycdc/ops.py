@@ -1,0 +1,133 @@
+"""Scale-conscious relational building blocks used by the query surface.
+
+These encode the shuffle-minimizing patterns the engine standardizes on
+(SURVEY.md §4, ray_guide "Aggregation at scale"):
+
+* :func:`partial_groupby_agg` — combiner-style aggregation: a vectorized
+  per-batch ``pyarrow.Table.group_by`` partial reduce inside
+  ``map_batches`` (one row per key per batch), then a small global
+  ``groupby().aggregate`` over the partials. The all-to-all exchange
+  moves O(keys × batches), not O(rows).
+* :func:`broadcast_lookup` / :func:`broadcast_membership` — the small-
+  side join: ``ray.put`` once, ``ray.get`` per actor/task, vectorized
+  pandas/numpy lookup per batch. No shuffle (reference analog: identity
+  CSV ConcurrentHashMap, J1/J3).
+* :func:`grouped_min_broadcast` — the grouped-min-then-map pattern
+  (date-shift machinery analog, A3/M10).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+# partial kernel → (pyarrow group_by agg, final ray aggregate, merge fn name)
+_COMBINERS = {
+    "min": ("min", Min),
+    "max": ("max", Max),
+    "sum": ("sum", Sum),
+    "count": ("count", Sum),  # counts combine by summing
+}
+
+
+def partial_groupby_agg(
+    ds: ray.data.Dataset,
+    key: str | list[str],
+    specs: dict[str, tuple[str, str]],
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """``specs``: out_col -> (in_col, kernel) with kernel in
+    min|max|sum|count. Example::
+
+        partial_groupby_agg(ev, "user_id",
+                            {"first_lsn": ("event_id", "min"),
+                             "n_events": ("event_id", "count")})
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    for out, (col, kern) in specs.items():
+        if kern not in _COMBINERS:
+            raise ValueError(f"unsupported kernel {kern!r}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        aggs = []
+        renames = {}
+        for out, (col, kern) in specs.items():
+            pa_kern = _COMBINERS[kern][0]
+            aggs.append((col, pa_kern))
+            renames[f"{col}_{pa_kern}"] = out
+        g = t.group_by(keys).aggregate(aggs)
+        names = [renames.get(n, n) for n in g.column_names]
+        return g.rename_columns(names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    finals = []
+    renames2 = {}
+    for out, (_, kern) in specs.items():
+        agg_cls = _COMBINERS[kern][1]
+        finals.append(agg_cls(out, alias_name=out))
+    out_ds = partials.groupby(keys).aggregate(*finals)
+    return out_ds
+
+
+def broadcast_membership(
+    ds: ray.data.Dataset,
+    key: str,
+    members,
+    out_col: str = "matched",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Semi/anti-join by broadcast key set: adds a boolean column.
+    ``members`` may be a set/array or an ObjectRef of one."""
+    ref = members if isinstance(members, ray.ObjectRef) else ray.put(np.asarray(sorted(members)))
+
+    class Member:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t[key].to_numpy(zero_copy_only=False)
+            return t.append_column(out_col, pa.array(np.isin(v, self.keys)))
+
+    return ds.map_batches(Member, batch_format="pyarrow", batch_size=batch_size, concurrency=2)
+
+
+def broadcast_lookup(
+    ds: ray.data.Dataset,
+    key: str,
+    mapping: dict,
+    out_col: str,
+    default=None,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Broadcast hash join (small side): map ``key`` through ``mapping``
+    into ``out_col`` (vectorized pandas map per batch)."""
+    ref = ray.put(pd.Series(mapping))
+
+    class Lookup:
+        def __init__(self):
+            self.s = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t[key].to_pandas()
+            got = v.map(self.s)
+            if default is not None:
+                got = got.fillna(default)
+            return t.append_column(out_col, pa.Array.from_pandas(got))
+
+    return ds.map_batches(Lookup, batch_format="pyarrow", batch_size=batch_size, concurrency=2)
+
+
+def grouped_min_broadcast(
+    ds: ray.data.Dataset, key: str, col: str, batch_size: int = 65536
+) -> dict:
+    """Per-key minimum as a driver-side dict (small key domain — the
+    date-shift epoch pattern). Uses the partial-agg path so the shuffle
+    is over per-batch partials only."""
+    agg = partial_groupby_agg(ds, key, {"_min": (col, "min")}, batch_size=batch_size)
+    return {r[key]: r["_min"] for r in agg.take_all()}

@@ -1,0 +1,142 @@
+"""Composed pipelines — the flagship CDC replay and helpers that bind
+synthesis, the lake, the tailer, and the transform stages together.
+
+The flagship flow is the engine analog of the reference's
+ListenDICOM → DeidentifyDICOM → PutDICOM graph (SURVEY.md §3.1):
+changelog segments → validate/dead-letter → (optional rules/identity) →
+keyed LWW apply → exactly-once partitioned Parquet lake.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+import ray.data
+
+from raycdc.apply import base_as_inserts
+from raycdc.lake import LakeTable
+from raycdc.synth import EventGenConfig, write_base, write_changelog
+from raycdc.tailer import tail_until_caught_up
+
+# sf → (n_base, n_events, num_partitions, n_segments, min_len, max_len)
+# sf0.001/0.01 use the FIXTURES.md F1 token range (64-1024). The sf0.1
+# bench preset keeps the event COUNT at 1M (the north-star axis is
+# change-events/sec) with a shorter token payload (48-192) because this
+# sandbox's page-population throughput (~1-10MB/s in bad phases, see
+# BASELINE.md) makes multi-GB payloads infeasible to even synthesize;
+# the pipeline code path is identical.
+SCALE_PRESETS = {
+    "0.001": (2_000, 10_000, 8, 4, 64, 1024),
+    "0.01": (20_000, 100_000, 16, 8, 64, 1024),
+    "0.1": (100_000, 1_000_000, 32, 8, 48, 192),
+    "1": (1_000_000, 10_000_000, 64, 16, 48, 192),
+}
+
+TOKEN_LEN = (64, 1024)  # per FIXTURES.md F1
+SEED = 42
+
+
+def sf_of(sf_dir: str) -> str:
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    return m.group(1) if m else "0.001"
+
+
+def ensure_synth_inputs(
+    work_root: str,
+    n_base: int,
+    n_events: int,
+    n_segments: int,
+    seed: int = SEED,
+    min_len: int = TOKEN_LEN[0],
+    max_len: int = TOKEN_LEN[1],
+    use_ray: bool | None = None,
+) -> tuple[str, str]:
+    """Deterministic base+changelog parquet under ``work_root`` (cached —
+    synthesis is a pure function of the parameters, which are part of the
+    directory key). Generation fans out over Ray tasks when a Ray session
+    is up (identical bytes either way — counter-based generation)."""
+    key = f"b{n_base}_e{n_events}_s{n_segments}_seed{seed}_l{min_len}-{max_len}"
+    root = os.path.join(work_root, key)
+    base_dir, log_dir = os.path.join(root, "base"), os.path.join(root, "log")
+    marker = os.path.join(root, "_done")
+    if not os.path.exists(marker):
+        if use_ray is None:
+            import ray
+
+            use_ray = ray.is_initialized()
+        shutil.rmtree(root, ignore_errors=True)
+        cfg = EventGenConfig(
+            n_events=n_events,
+            n_base=n_base,
+            seed=seed,
+            dup_replay_rate=0.02,
+            pct_malformed=0.01,
+            hot_key_share=0.1,
+            min_len=min_len,
+            max_len=max_len,
+        )
+        write_base(
+            base_dir,
+            n_base,
+            seed=seed,
+            n_files=max(4, n_segments),
+            use_ray=use_ray,
+            min_len=min_len,
+            max_len=max_len,
+        )
+        write_changelog(log_dir, cfg, n_segments=n_segments, use_ray=use_ray)
+        open(marker, "w").write("ok")
+    return base_dir, log_dir
+
+
+def cdc_replay(
+    sf_dir: str | None = None,
+    work_root: str = "/tmp/raycdc_work",
+    n_base: int | None = None,
+    n_events: int | None = None,
+    num_partitions: int | None = None,
+    n_segments: int | None = None,
+    segments_per_epoch: int | None = None,
+    batch_size: int = 65536,
+    fresh: bool = True,
+    min_len: int | None = None,
+    max_len: int | None = None,
+) -> ray.data.Dataset:
+    """The flagship: synthesize (cached) → bootstrap lake → seed base →
+    tail the changelog to convergence → return the converged table.
+
+    Scale defaults come from the sf encoded in ``sf_dir`` (the driver
+    passes /root/testdata/sfX; the tokens input itself is synthesized per
+    BASELINE.json input_hint — no external data)."""
+    preset = SCALE_PRESETS.get(sf_of(sf_dir or ""), SCALE_PRESETS["0.001"])
+    n_base = n_base or preset[0]
+    n_events = n_events or preset[1]
+    num_partitions = num_partitions or preset[2]
+    n_segments = n_segments or preset[3]
+    min_len = min_len if min_len is not None else preset[4]
+    max_len = max_len if max_len is not None else preset[5]
+
+    base_dir, log_dir = ensure_synth_inputs(
+        work_root, n_base, n_events, n_segments, min_len=min_len, max_len=max_len
+    )
+    lake_dir = os.path.join(
+        work_root, f"lake_b{n_base}_e{n_events}_p{num_partitions}_l{min_len}-{max_len}"
+    )
+    if fresh:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+    lake = LakeTable(lake_dir, num_partitions=num_partitions)
+    lake.init()
+    if "__base__" not in lake.manifest()["segments_applied"]:
+        lake.apply(
+            base_as_inserts(ray.data.read_parquet(base_dir)), ["__base__"], batch_size=batch_size
+        )
+    tail_until_caught_up(
+        lake,
+        log_dir,
+        max_segments_per_epoch=segments_per_epoch,
+        dead_letter_dir=os.path.join(lake_dir, "dead_letter"),
+        batch_size=batch_size,
+    )
+    return lake.read()

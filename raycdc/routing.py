@@ -19,6 +19,8 @@ they can be re-submitted after repair.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -77,6 +79,42 @@ def route_counts(ds: ray.data.Dataset) -> dict[str, int]:
 
 
 def split_valid(ds: ray.data.Dataset, batch_size: int = 65536):
-    """Convenience: (ok_dataset, dead_letter_dataset) from a raw stream."""
+    """Convenience: (ok_dataset, dead_letter_dataset) from a raw stream.
+    NOTE: consuming both datasets executes the upstream twice; for the
+    hot ingest path use :class:`ValidateAndDivert` (single pass)."""
     stamped = validate(ds, batch_size=batch_size)
     return take_route(stamped, ROUTE_OK), take_route(stamped, ROUTE_DEAD_LETTER)
+
+
+class ValidateAndDivert:
+    """Single-pass validation: dead-lettered rows are diverted to parquet
+    side-files as they stream by; only valid rows continue down the
+    pipeline. One pass over the input — the hot-path variant of
+    :func:`split_valid`.
+
+    The dead-letter stream is at-least-once (a retried task rewrites its
+    rows under a new file name) — fine for a repair/diagnostics stream,
+    mirroring the reference's failure-relationship loop-back semantics
+    (``PutDICOM.java:83-86``).
+    """
+
+    def __init__(self, dead_letter_dir: str | None = None):
+        self.dead_dir = dead_letter_dir
+        if dead_letter_dir:
+            os.makedirs(dead_letter_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        stamped = stamp_route(batch)
+        routes = stamped[ROUTE_COL]
+        ok_mask = pc.equal(routes, ROUTE_OK)
+        n_bad = batch.num_rows - pc.sum(ok_mask.cast(pa.int64())).as_py()
+        if n_bad and self.dead_dir:
+            import uuid
+
+            import pyarrow.parquet as pq
+
+            dead = stamped.filter(pc.invert(ok_mask))
+            pq.write_table(
+                dead, os.path.join(self.dead_dir, f"dead-{uuid.uuid4().hex[:12]}.parquet")
+            )
+        return stamped.filter(ok_mask).drop_columns([ROUTE_COL])

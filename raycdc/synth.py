@@ -195,39 +195,60 @@ def with_replays_and_disorder(events: pa.Table, cfg: EventGenConfig) -> pa.Table
     return out.take(pa.array(perm))
 
 
+def _write_segment(out_dir: str, cfg: EventGenConfig, k: int, lo: int, hi: int) -> str:
+    seg = events_table(cfg, lsn_lo=lo, lsn_hi=hi)
+    seg = with_replays_and_disorder(seg, cfg)
+    p = os.path.join(out_dir, f"seg-{k:05d}.parquet")
+    pq.write_table(seg, p)
+    return p
+
+
 def write_changelog(
     out_dir: str,
     cfg: EventGenConfig,
     n_segments: int = 4,
+    use_ray: bool = False,
 ) -> list[str]:
     """Write the changelog as append-only parquet segments
     ``seg-{k:05d}.parquet`` (the WAL the tailer reads, SURVEY.md §7.1).
-    Each segment covers a contiguous lsn range but is shuffled within."""
+    Each segment covers a contiguous lsn range but is shuffled within.
+    ``use_ray`` fans segment generation out as Ray tasks — output is
+    byte-identical to the serial path (counter-based generation)."""
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
     bounds = np.linspace(cfg.lsn_offset + 1, cfg.lsn_offset + 1 + cfg.n_events, n_segments + 1).astype(np.int64)
-    for k in range(n_segments):
-        seg = events_table(cfg, lsn_lo=int(bounds[k]), lsn_hi=int(bounds[k + 1]))
-        seg = with_replays_and_disorder(seg, cfg)
-        p = os.path.join(out_dir, f"seg-{k:05d}.parquet")
-        pq.write_table(seg, p)
-        paths.append(p)
-    return paths
+    args = [(k, int(bounds[k]), int(bounds[k + 1])) for k in range(n_segments)]
+    if use_ray:
+        import ray
+
+        task = ray.remote(_write_segment)
+        return ray.get([task.remote(out_dir, cfg, k, lo, hi) for k, lo, hi in args])
+    return [_write_segment(out_dir, cfg, k, lo, hi) for k, lo, hi in args]
 
 
-def write_base(out_dir: str, n_rows: int, seed: int = 42, n_files: int = 4, **kw) -> list[str]:
+def _write_base_file(out_dir: str, k: int, cnt: int, lo: int, seed: int, kw: dict) -> str:
+    p = os.path.join(out_dir, f"base-{k:05d}.parquet")
+    pq.write_table(base_table(cnt, seed=seed, row_offset=lo, **kw), p)
+    return p
+
+
+def write_base(
+    out_dir: str, n_rows: int, seed: int = 42, n_files: int = 4, use_ray: bool = False, **kw
+) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
     per = (n_rows + n_files - 1) // n_files
+    args = []
     for k in range(n_files):
         lo = k * per
         cnt = min(per, n_rows - lo)
         if cnt <= 0:
             break
-        p = os.path.join(out_dir, f"base-{k:05d}.parquet")
-        pq.write_table(base_table(cnt, seed=seed, row_offset=lo, **kw), p)
-        paths.append(p)
-    return paths
+        args.append((k, cnt, lo))
+    if use_ray:
+        import ray
+
+        task = ray.remote(_write_base_file)
+        return ray.get([task.remote(out_dir, k, cnt, lo, seed, kw) for k, cnt, lo in args])
+    return [_write_base_file(out_dir, k, cnt, lo, seed, kw) for k, cnt, lo in args]
 
 
 # ---------------------------------------------------------------- oracle

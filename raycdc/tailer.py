@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray.data
 
 from raycdc.lake import LakeTable
-from raycdc.routing import split_valid
+from raycdc.routing import ValidateAndDivert
 
 
 def list_segments(log_dir: str, suffix: str = ".parquet") -> list[str]:
@@ -59,11 +59,12 @@ def tail_once(
 ) -> dict | None:
     """Apply ONE epoch of pending segments (or None if fully caught up).
 
-    Flow: discover → read (with provenance) → validate/split →
-    [optional transform, e.g. a RuleSet stage] → lake.apply (exactly-once).
-    Dead letters are written to ``dead_letter_dir`` partitioned by epoch,
-    keeping full payload for repair (failure-loopback analog,
-    ``PutDICOM.java:83-86``).
+    Flow: discover → read (with provenance) → single-pass validate with
+    dead-letter diversion → [optional transform, e.g. a RuleSet stage] →
+    lake.apply (exactly-once). Dead letters land under
+    ``dead_letter_dir/epoch=N`` with full payload for repair
+    (failure-loopback analog, ``PutDICOM.java:83-86``); one pass over the
+    input total.
     """
     todo = pending_segments(lake, log_dir)
     if not todo:
@@ -72,14 +73,17 @@ def tail_once(
         todo = todo[:max_segments_per_epoch]
     ds = read_segments(log_dir, todo)
     ds = ds.map_batches(lambda t: t.drop_columns(["_segment"]), batch_format="pyarrow")
-    ok, dead = split_valid(ds, batch_size=batch_size)
+    dl = None
     if dead_letter_dir is not None:
         epoch = lake.manifest()["epoch"] + 1
-        d = os.path.join(dead_letter_dir, f"epoch={epoch:06d}")
-        # count() consumes the stream; only write when non-empty to keep
-        # the dead-letter dir free of empty marker dirs
-        os.makedirs(d, exist_ok=True)
-        dead.write_parquet(d)
+        dl = os.path.join(dead_letter_dir, f"epoch={epoch:06d}")
+    ok = ds.map_batches(
+        ValidateAndDivert,
+        fn_constructor_kwargs={"dead_letter_dir": dl},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
     if transform is not None:
         ok = transform(ok)
     return lake.apply(ok, todo, batch_size=batch_size)

@@ -1,0 +1,192 @@
+"""Training-data extras: dedup (exact/minhash/simhash/embedding),
+similarity search (brute + IVF), text analysis, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raycdc.extras.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    exact_dedup_rows,
+    jaccard,
+    minhash_near_dup,
+    ngram_jaccard_pairs,
+    simhash_near_dup,
+    simhash_signatures,
+)
+from raycdc.extras.multimodal import (
+    DecodeImage,
+    ResizeImage,
+    SampleFrames,
+    attach_fake_media,
+    decode_features,
+)
+from raycdc.extras.similarity import IVFIndex, knn_brute
+from raycdc.extras.text import LangId, QualityScore, analyze, fingerprint_batch, token_count_batch
+
+
+def collect(ds):
+    t = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return pa.concat_tables(t, promote_options="permissive") if t else pa.table({})
+
+
+def doc_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "the quick brown fox jumps over a lazy dog today",  # near dup of 0
+        "le chat est sur la table et il est content",
+        "completely different content about databases and queries here",
+        "der hund ist nicht mit der katze auf das sofa",
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+
+
+def emb_table(n=40, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(d).astype(np.float32)  # near dup pair (0,1)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in base], type=pa.list_(pa.float32())),
+        }
+    )
+
+
+# ------------------------------------------------------------------- dedup
+def test_exact_dedup_groups_and_rows():
+    ds = rd.from_arrow(doc_table())
+    agg = collect(exact_dedup(ds)).to_pylist()
+    by_keep = {r["keep_id"]: r["dups"] for r in agg}
+    assert by_keep[0] == 2  # docs 0 and 1 identical, min id wins
+    assert len(agg) == 5  # 5 distinct contents
+    rows = collect(exact_dedup_rows(ds))
+    assert rows.num_rows == 5
+    assert 1 not in rows["doc_id"].to_pylist()
+
+
+def test_minhash_near_dup_finds_near_and_skips_far():
+    ds = rd.from_arrow(doc_table())
+    pairs = collect(minhash_near_dup(ds, threshold=0.3, k_shingle=3, num_perm=32, bands=16))
+    got = {(r["id_a"], r["id_b"]) for r in pairs.to_pylist()}
+    assert (0, 1) in got  # exact dup always caught
+    assert (0, 2) in got or (1, 2) in got  # near dup caught
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in got)  # no false positives
+
+
+def test_jaccard_properties():
+    assert jaccard("a b c d e", "a b c d e") == 1.0
+    assert jaccard("a b c d e", "v w x y z") == 0.0
+
+
+def test_simhash_near_dup():
+    ds = rd.from_arrow(doc_table())
+    sigs = collect(simhash_signatures(ds))
+    by_id = {r["doc_id"]: r["simhash"] for r in sigs.to_pylist()}
+    assert by_id[0] == by_id[1]  # identical docs → identical signature
+    pairs = collect(simhash_near_dup(ds, max_hamming=3))
+    got = {(r["id_a"], r["id_b"]) for r in pairs.to_pylist()}
+    assert (0, 1) in got
+
+
+def test_embedding_near_dup():
+    ds = rd.from_arrow(emb_table())
+    pairs = collect(embedding_near_dup(ds, threshold=0.95, n_planes=4))
+    got = {(r["id_a"], r["id_b"]) for r in pairs.to_pylist()}
+    assert (0, 1) in got
+
+
+def test_ngram_jaccard_pairs():
+    ds = rd.from_arrow(doc_table())
+    out = ngram_jaccard_pairs(ds, [(0, 1), (0, 4)], k=3).to_pylist()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert j[(0, 1)] == 1.0
+    assert j[(0, 4)] == 0.0
+
+
+# --------------------------------------------------------------- similarity
+def test_knn_brute_top1_is_self():
+    t = emb_table()
+    q = np.asarray(t["embedding"].to_pylist()[5], dtype=np.float64)
+    out = collect(knn_brute(rd.from_arrow(t), q, k=3, batch_size=16)).to_pylist()
+    assert out[0][ "vec_id"] == 5 and out[0]["sim"] == 1.0
+    assert len(out) == 3
+
+
+def test_knn_multi_query():
+    t = emb_table()
+    q = np.asarray(t["embedding"].to_pylist()[:2], dtype=np.float64)
+    out = collect(knn_brute(rd.from_arrow(t), q, k=2, batch_size=16))
+    assert out.num_rows == 4
+    by_q = {}
+    for r in out.to_pylist():
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert by_q[0][0] == 0 and by_q[1][0] == 1
+
+
+def test_ivf_matches_brute_for_probed_k():
+    t = emb_table(n=100)
+    ds = rd.from_arrow(t)
+    q = np.asarray(t["embedding"].to_pylist()[7], dtype=np.float64)
+    idx = IVFIndex(n_clusters=4, n_iter=5).fit(ds)
+    assigned = idx.assign(ds)
+    hits = collect(idx.search(assigned, q, k=1, nprobe=4)).to_pylist()
+    # nprobe == n_clusters → exhaustive → must equal brute-force top-1
+    assert hits[0]["vec_id"] == 7
+
+
+# --------------------------------------------------------------------- text
+def test_lang_id():
+    out = LangId()(doc_table())
+    langs = dict(zip(out["doc_id"].to_pylist(), out["lang_pred"].to_pylist()))
+    assert langs[0] == "en" and langs[3] == "fr" and langs[5] == "de"
+
+
+def test_quality_and_tokens_and_fingerprint():
+    t = doc_table()
+    q = QualityScore()(t)
+    assert q["stop_ratio"].to_pylist()[0] > 0
+    tk = token_count_batch(t)
+    assert tk["n_ws_tokens"].to_pylist()[0] == 9
+    fp = fingerprint_batch(t)
+    fps = fp["fp"].to_pylist()
+    assert fps[0] == fps[1] and fps[0] != fps[4]
+    rolls = fp["rolling_fp"].to_pylist()
+    assert rolls[0] == rolls[1] and rolls[0] != rolls[4]
+
+
+def test_analyze_pipeline():
+    out = collect(analyze(rd.from_arrow(doc_table()), concurrency=2, batch_size=4))
+    assert {"lang_pred", "quality", "n_bpe_tokens", "fp"} <= set(out.column_names)
+    assert out.num_rows == 6
+
+
+# --------------------------------------------------------------- multimodal
+def test_multimodal_plumbing():
+    docs = rd.from_arrow(doc_table().append_column("did", pa.array([f"d{i}" for i in range(6)])))
+    media = attach_fake_media(docs, id_col="did")
+    feats = collect(decode_features(media, concurrency=2, batch_size=2))
+    assert "payload" not in feats.column_names  # heavy bytes dropped at decode
+    assert feats.num_rows == 6
+    v = feats["features"].to_pylist()
+    assert len(v[0]) == 8 and all(0 <= x <= 1 for x in v[0])
+    # determinism: same ids → same features
+    feats2 = collect(decode_features(attach_fake_media(docs, id_col="did"), concurrency=2, batch_size=2))
+    assert feats2["features"].to_pylist() == v
+
+
+def test_multimodal_real_path_raises():
+    media = collect(attach_fake_media(rd.from_arrow(doc_table().append_column("did", pa.array([f"d{i}" for i in range(6)]))), id_col="did"))
+    with pytest.raises(NotImplementedError, match="image library"):
+        DecodeImage(real=True)(media)
+    with pytest.raises(NotImplementedError):
+        ResizeImage(real=True)(media)
+    # stub resize rewrites meta dims
+    resized = ResizeImage(width=64, height=48)(media)
+    m = resized["meta"].to_pylist()[0]
+    assert m["width"] == 64 and m["height"] == 48
+    frames = SampleFrames(every_n=8)(media)
+    assert frames.num_rows >= media.num_rows  # ≥1 frame per row
