@@ -284,6 +284,88 @@ def q_knn_brute(sf_dir: str):
     return ds.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
 
 
+def q_derive_path(sf_dir: str):
+    """Sanitize-and-concat path derivation (ExtractDICOMTags filename
+    pattern, M3/M6): `sanitize(source)/sanitize(lang)/doc_id.txt`."""
+
+    def f(t: pa.Table) -> pa.Table:
+        san = lambda c: pc.replace_substring_regex(t[c], pattern=r"[^a-zA-Z0-9.^]", replacement="_")
+        path = pc.binary_join_element_wise(
+            san("source"), san("lang"), pc.cast(t["doc_id"], pa.string()), "/"
+        )
+        path = pc.binary_join_element_wise(path, "txt", ".")
+        return pa.table({"doc_id": t["doc_id"], "path": path})
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_identity_substitute(sf_dir: str):
+    """Identity side-table substitution with generate-if-unmatched
+    (T3/T4/J1): matched users take the nation side table's name,
+    unmatched get a deterministic pseudo-identity."""
+    import pandas as pd
+
+    from raycdc.ops import partial_groupby_agg
+
+    nt = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
+    mapping = dict(zip(nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist()))
+    ref = ray.put(mapping)
+
+    users = partial_groupby_agg(_ev(sf_dir), "user_id", {"n_events": ("event_id", "count")})
+
+    class Sub:
+        def __init__(self):
+            self.m = pd.Series(ray.get(ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            uid = t["user_id"].to_pandas()
+            mapped = uid.map(self.m)
+            fallback = [
+                "anon-" + hashlib.md5(str(u).encode()).hexdigest()[:16] for u in uid.tolist()
+            ]
+            new_id = mapped.fillna(pd.Series(fallback, index=mapped.index))
+            return pa.table(
+                {"user_id": t["user_id"], "new_id": pa.array(new_id.tolist(), type=pa.string())}
+            )
+
+    return users.map_batches(Sub, batch_format="pyarrow", concurrency=2)
+
+
+def q_roundtrip_diffmerge(sf_dir: str):
+    """Reversible attribute evolution (J4/J5/C2/C3): redact via rules,
+    seal the change set, then restore — the oracle is the ORIGINAL
+    documents table, so a value match proves the round trip is exact."""
+    from raycdc.diffmerge import DecryptReidentify, DeidentifyEncrypt
+    from raycdc.rules import RuleSet
+
+    rules = RuleSet.from_config(
+        {
+            "rules": [
+                {"column": "text", "action": "replace", "value": "[REDACTED]"},
+                {"column": "lang", "action": "null"},
+            ]
+        }
+    )
+    ds = _docs(sf_dir).map_batches(
+        DeidentifyEncrypt,
+        fn_constructor_kwargs={"ruleset": rules, "key": "doc_id", "password": "pw", "iterations": 10},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+    ds = ds.map_batches(
+        DecryptReidentify,
+        fn_constructor_kwargs={"key": "doc_id", "password": "pw", "iterations": 10},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "text", "lang", "source", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_embedding_cosine_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs, exact mode (single bucket) so the
     SQL oracle matches; the LSH-bucketed scale path is the
@@ -384,6 +466,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q_text_fingerprint,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
+        "derive_path": q_derive_path,
+        "identity_substitute": q_identity_substitute,
+        "roundtrip_diffmerge": q_roundtrip_diffmerge,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_near_dup": q_minhash_near_dup,
@@ -467,6 +552,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY sim DESC, e.vec_id
             LIMIT 10
+        """,
+        "derive_path": """
+            SELECT doc_id,
+                   regexp_replace(source, '[^a-zA-Z0-9.^]', '_', 'g') || '/' ||
+                   regexp_replace(lang, '[^a-zA-Z0-9.^]', '_', 'g') || '/' ||
+                   CAST(doc_id AS VARCHAR) || '.txt' AS path
+            FROM documents
+        """,
+        "identity_substitute": """
+            SELECT u.user_id,
+                   coalesce(n.n_name,
+                            'anon-' || substr(md5(CAST(u.user_id AS VARCHAR)), 1, 16)) AS new_id
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN nation n ON n.n_nationkey = u.user_id
+        """,
+        "roundtrip_diffmerge": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

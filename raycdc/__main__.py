@@ -1,0 +1,189 @@
+"""raycdc CLI — the operational surface a pipeline operator uses.
+
+Commands mirror the reference's deployment lifecycle (enable controller
+service → wire processors → run flow → watch stats):
+
+    python -m raycdc synth  WORK --base 10000 --events 100000 --segments 8
+    python -m raycdc init   LAKE --partitions 64
+    python -m raycdc seed   LAKE BASE_DIR
+    python -m raycdc tail   LAKE LOG_DIR [--dead-letter DIR] [--rules rules.json]
+                                         [--segments-per-epoch N] [--watch SECONDS]
+    python -m raycdc status LAKE
+    python -m raycdc read   LAKE --out DIR
+    python -m raycdc vacuum LAKE [--keep 1]
+
+The CLI owns its Ray session (scripts own sessions; library code never
+calls ray.init — see __ray_entry__ contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ray_up(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="raycdc")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth", help="generate deterministic base+changelog fixtures")
+    sp.add_argument("work_root")
+    sp.add_argument("--base", type=int, default=10_000)
+    sp.add_argument("--events", type=int, default=100_000)
+    sp.add_argument("--segments", type=int, default=8)
+    sp.add_argument("--min-len", type=int, default=64)
+    sp.add_argument("--max-len", type=int, default=1024)
+
+    ip = sub.add_parser("init", help="bootstrap an empty lake (idempotent)")
+    ip.add_argument("lake")
+    ip.add_argument("--partitions", type=int, default=64)
+
+    se = sub.add_parser("seed", help="apply a base table as the initial state")
+    se.add_argument("lake")
+    se.add_argument("base_dir")
+
+    tp = sub.add_parser("tail", help="apply pending changelog segments (exactly-once)")
+    tp.add_argument("lake")
+    tp.add_argument("log_dir")
+    tp.add_argument("--dead-letter", default=None)
+    tp.add_argument("--rules", default=None, help="JSON rule-config file (attribute evolution)")
+    tp.add_argument("--segments-per-epoch", type=int, default=None)
+    tp.add_argument("--watch", type=float, default=None, help="poll every N seconds")
+
+    st = sub.add_parser("status", help="manifest summary")
+    st.add_argument("lake")
+
+    rd_ = sub.add_parser("read", help="export the converged table snapshot")
+    rd_.add_argument("lake")
+    rd_.add_argument("--out", required=True)
+
+    vp = sub.add_parser("vacuum", help="drop unreferenced old epoch files")
+    vp.add_argument("lake")
+    vp.add_argument("--keep", type=int, default=1)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        _ray_up(args.num_cpus)
+        from raycdc.pipelines import ensure_synth_inputs
+
+        base_dir, log_dir = ensure_synth_inputs(
+            args.work_root, args.base, args.events, args.segments,
+            min_len=args.min_len, max_len=args.max_len,
+        )
+        print(json.dumps({"base_dir": base_dir, "log_dir": log_dir}))
+        return 0
+
+    from raycdc.lake import LakeTable
+
+    if args.cmd == "init":
+        lk = LakeTable(args.lake, num_partitions=args.partitions)
+        m = lk.init()
+        print(json.dumps({"lake": args.lake, "epoch": m["epoch"], "partitions": m["num_partitions"]}))
+        return 0
+
+    lk = LakeTable(args.lake)
+    if not lk.exists():
+        print(f"error: no lake at {args.lake} (run `init` first)", file=sys.stderr)
+        return 2
+
+    if args.cmd == "seed":
+        _ray_up(args.num_cpus)
+        import ray.data
+
+        from raycdc.apply import base_as_inserts
+
+        if "__base__" in lk.manifest()["segments_applied"]:
+            print(json.dumps({"noop": True, "reason": "already seeded"}))
+            return 0
+        r = lk.apply(base_as_inserts(ray.data.read_parquet(args.base_dir)), ["__base__"])
+        print(json.dumps(r))
+        return 0
+
+    if args.cmd == "tail":
+        _ray_up(args.num_cpus)
+        from raycdc.tailer import tail_until_caught_up
+
+        transform = None
+        if args.rules:
+            from raycdc.rules import RuleSet
+
+            rs = RuleSet.from_json(open(args.rules).read())
+            problems = rs.validate(None)
+            if problems:
+                print("invalid rules: " + "; ".join(problems), file=sys.stderr)
+                return 2
+            transform = lambda ds: ds.map_batches(rs, batch_format="pyarrow")
+        while True:
+            res = tail_until_caught_up(
+                lk,
+                args.log_dir,
+                max_segments_per_epoch=args.segments_per_epoch,
+                transform=transform,
+                dead_letter_dir=args.dead_letter,
+            )
+            for r in res:
+                print(json.dumps(r))
+            if args.watch is None:
+                if not res:
+                    print(json.dumps({"caught_up": True}))
+                return 0
+            time.sleep(args.watch)
+
+    if args.cmd == "status":
+        m = lk.manifest()
+        live = sum(pt.get("live_rows", 0) for pt in m["partitions"].values())
+        print(
+            json.dumps(
+                {
+                    "epoch": m["epoch"],
+                    "partitions": m["num_partitions"],
+                    "segments_applied": len(m["segments_applied"]),
+                    "live_rows": live,
+                    "last_history": (m.get("history") or [None])[-1],
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "read":
+        _ray_up(args.num_cpus)
+        ds = lk.read()
+        ds.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": lk_count(lk)}))
+        return 0
+
+    if args.cmd == "vacuum":
+        removed = lk.vacuum(keep_epochs=args.keep)
+        print(json.dumps({"removed": len(removed)}))
+        return 0
+
+    return 1
+
+
+def lk_count(lk) -> int:
+    m = lk.manifest()
+    return sum(pt.get("live_rows", 0) for pt in m["partitions"].values())
+
+
+if __name__ == "__main__":
+    sys.exit(main())

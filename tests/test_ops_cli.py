@@ -1,0 +1,98 @@
+"""ops.py building blocks + the CLI lifecycle (in-process main())."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raycdc.ops import (
+    broadcast_lookup,
+    broadcast_membership,
+    grouped_min_broadcast,
+    partial_groupby_agg,
+)
+
+
+def test_partial_groupby_agg_matches_naive():
+    n = 5000
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 50, n)
+    vals = rng.integers(0, 1000, n)
+    t = pa.table({"k": keys, "v": vals})
+    out = {
+        r["k"]: r
+        for r in partial_groupby_agg(
+            rd.from_arrow(t).repartition(8),
+            "k",
+            {"mn": ("v", "min"), "mx": ("v", "max"), "sm": ("v", "sum"), "ct": ("v", "count")},
+            batch_size=256,
+        ).take_all()
+    }
+    import pandas as pd
+
+    g = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"]
+    for k, mn in g.min().items():
+        assert out[k]["mn"] == mn
+        assert out[k]["mx"] == g.max()[k]
+        assert out[k]["sm"] == g.sum()[k]
+        assert out[k]["ct"] == g.count()[k]
+
+
+def test_broadcast_membership_and_lookup():
+    t = pa.table({"k": [1, 2, 3, 4], "x": ["a", "b", "c", "d"]})
+    ds = broadcast_membership(rd.from_arrow(t), "k", {2, 4})
+    got = {r["k"]: r["matched"] for r in ds.take_all()}
+    assert got == {1: False, 2: True, 3: False, 4: True}
+    ds2 = broadcast_lookup(rd.from_arrow(t), "k", {1: "one", 3: "three"}, "name", default="?")
+    got2 = {r["k"]: r["name"] for r in ds2.take_all()}
+    assert got2 == {1: "one", 2: "?", 3: "three", 4: "?"}
+
+
+def test_grouped_min_broadcast():
+    t = pa.table({"k": [1, 1, 2, 2], "v": [5, 3, 9, 7]})
+    assert grouped_min_broadcast(rd.from_arrow(t), "k", "v") == {1: 3, 2: 7}
+
+
+# --------------------------------------------------------------------- CLI
+def test_cli_lifecycle(tmp_path, capsys):
+    from raycdc.__main__ import main
+
+    work, lake, dead = str(tmp_path / "w"), str(tmp_path / "lake"), str(tmp_path / "dead")
+    assert main(["synth", work, "--base", "500", "--events", "2000", "--segments", "2",
+                 "--min-len", "4", "--max-len", "8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    base_dir, log_dir = out["base_dir"], out["log_dir"]
+
+    assert main(["init", lake, "--partitions", "4"]) == 0
+    assert main(["seed", lake, base_dir]) == 0
+    # seeding twice is a no-op
+    assert main(["seed", lake, base_dir]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]).get("noop") is True
+
+    assert main(["tail", lake, log_dir, "--dead-letter", dead]) == 0
+    assert main(["status", lake]) == 0
+    status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["epoch"] == 2 and status["live_rows"] > 0
+
+    snap = str(tmp_path / "snap")
+    assert main(["read", lake, "--out", snap]) == 0
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(snap).num_rows == status["live_rows"]
+
+    assert main(["vacuum", lake]) == 0
+
+
+def test_cli_errors(tmp_path, capsys):
+    from raycdc.__main__ import main
+
+    assert main(["status", str(tmp_path / "missing")]) == 2
+    # bad rules file fails fast at config validation
+    lake = str(tmp_path / "lake2")
+    assert main(["init", lake]) == 0
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"rules": [{"column": "x", "action": "bogus"}]}')
+    assert main(["tail", lake, str(tmp_path), "--rules", str(bad)]) == 2
