@@ -165,9 +165,7 @@ def q_cdc_replay_tokens(sf_dir: str):
     tests/test_pipeline_e2e.py)."""
     from raycdc.pipelines import cdc_replay
 
-    return cdc_replay(sf_dir).map_batches(
-        lambda t: t.sort_by("doc_id"), batch_format="pyarrow"
-    )
+    return cdc_replay(sf_dir).sort("doc_id")
 
 
 # --------------------------------------------------------------- relational

@@ -15,7 +15,10 @@ for exactly-once commits.
 """
 
 from raycdc import util  # noqa: F401
+from raycdc.apply import base_as_inserts, lww_apply, lww_apply_table  # noqa: F401
+from raycdc.lake import LakeTable  # noqa: F401
+from raycdc.rules import RuleSet  # noqa: F401
 from raycdc.synth import base_table, events_table, fold_events  # noqa: F401
-from raycdc.apply import lww_apply, lww_apply_table  # noqa: F401
+from raycdc.tailer import pending_segments, tail_once, tail_until_caught_up  # noqa: F401
 
 __version__ = "0.1.0"

@@ -27,9 +27,7 @@ from __future__ import annotations
 import hashlib
 import json
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 try:  # sandbox ships cryptography; stay import-safe anyway
     from cryptography.hazmat.primitives.ciphers.aead import AESGCM

@@ -27,7 +27,6 @@ import pyarrow.compute as pc
 import ray.data
 
 from raycdc.ops import partial_groupby_agg
-from raycdc.util import splitmix64
 
 _MERSENNE = (1 << 61) - 1
 

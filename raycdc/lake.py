@@ -42,7 +42,6 @@ import os
 import time
 import uuid
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq

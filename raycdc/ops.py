@@ -21,11 +21,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 # partial kernel → (pyarrow group_by agg, final ray aggregate, merge fn name)
 _COMBINERS = {
@@ -66,13 +65,10 @@ def partial_groupby_agg(
         return g.rename_columns(names)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-    finals = []
-    renames2 = {}
-    for out, (_, kern) in specs.items():
-        agg_cls = _COMBINERS[kern][1]
-        finals.append(agg_cls(out, alias_name=out))
-    out_ds = partials.groupby(keys).aggregate(*finals)
-    return out_ds
+    finals = [
+        _COMBINERS[kern][1](out, alias_name=out) for out, (_, kern) in specs.items()
+    ]
+    return partials.groupby(keys).aggregate(*finals)
 
 
 def broadcast_membership(

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -38,21 +37,24 @@ _VALID_OPS = ("insert", "update", "delete")
 
 
 def stamp_route(batch: pa.Table) -> pa.Table:
-    """Validation map: ok | dead_letter. Checks (all vectorized):
-    n_tok/token-length consistency, payload presence for non-deletes,
-    known op, non-null key, non-null lsn."""
-    n = batch.num_rows
+    """Validation map: ok | dead_letter. Checks (all pyarrow.compute
+    vectorized, no Python-object conversion): n_tok/token-length
+    consistency, payload presence for non-deletes, known op, non-null
+    key, non-null lsn."""
     bad = is_malformed_mask(batch)
     if "op" in batch.column_names:
-        bad |= ~np.isin(np.asarray(batch["op"]), _VALID_OPS)
+        known = pc.is_in(batch["op"], value_set=pa.array(_VALID_OPS))
+        bad |= pc.invert(pc.fill_null(known, False)).to_numpy(zero_copy_only=False)
     if "doc_id" in batch.column_names:
-        bad |= np.asarray(pc.is_null(batch["doc_id"]))
+        bad |= pc.is_null(batch["doc_id"]).to_numpy(zero_copy_only=False)
     if "lsn" in batch.column_names:
-        bad |= np.asarray(pc.is_null(batch["lsn"]))
-    route = np.where(bad, ROUTE_DEAD_LETTER, ROUTE_OK)
+        bad |= pc.is_null(batch["lsn"]).to_numpy(zero_copy_only=False)
+    route = pc.if_else(
+        pa.array(bad), pa.scalar(ROUTE_DEAD_LETTER), pa.scalar(ROUTE_OK)
+    )
     if ROUTE_COL in batch.column_names:
-        return batch.set_column(batch.column_names.index(ROUTE_COL), ROUTE_COL, pa.array(route))
-    return batch.append_column(ROUTE_COL, pa.array(route))
+        return batch.set_column(batch.column_names.index(ROUTE_COL), ROUTE_COL, route)
+    return batch.append_column(ROUTE_COL, route)
 
 
 def validate(ds: ray.data.Dataset, batch_size: int = 65536) -> ray.data.Dataset:

@@ -256,16 +256,20 @@ def write_base(
 
 def is_malformed_mask(events: pa.Table) -> np.ndarray:
     """An event is malformed iff its declared n_tok disagrees with the
-    actual token-list length, or a non-delete carries no payload."""
-    op = np.asarray(events["op"])
+    actual token-list length, or a non-delete carries no payload.
+    Fully vectorized (pyarrow.compute; no Python-object conversion)."""
+    import pyarrow.compute as pc
+
     tokens = events["tokens"]
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
-    lens = np.asarray(tokens.value_lengths().fill_null(-1))
-    n_tok = np.asarray(events["n_tok"].cast(pa.int64()).fill_null(-1))
-    is_del = op == "delete"
-    bad_payload = (~is_del) & ((lens < 0) | (n_tok != lens))
-    return bad_payload
+    lens = pc.fill_null(pc.list_value_length(tokens).cast(pa.int64()), -1)
+    n_tok = pc.fill_null(events["n_tok"].cast(pa.int64()), -1)
+    not_del = pc.invert(pc.fill_null(pc.equal(events["op"], "delete"), False))
+    bad = pc.and_(
+        not_del, pc.or_(pc.less(lens, 0), pc.not_equal(n_tok, lens))
+    )
+    return np.asarray(bad.to_numpy(zero_copy_only=False), dtype=bool)
 
 
 def fold_events(base: pa.Table, events: pa.Table) -> pa.Table:

@@ -35,18 +35,22 @@ def pending_segments(lake: LakeTable, log_dir: str) -> list[str]:
     return [s for s in list_segments(log_dir) if s not in done]
 
 
-def read_segments(log_dir: str, names: list[str]) -> ray.data.Dataset:
-    """Segment reader with provenance: adds a `_segment` column so every
-    row can be traced to its source file (provenance-receive analog)."""
+def read_segments(log_dir: str, names: list[str], provenance: bool = False) -> ray.data.Dataset:
+    """Segment reader. With ``provenance=True`` a ``_segment`` column
+    traces every row to its source file (provenance-receive analog,
+    vectorized basename extraction) — off by default on the hot path."""
     paths = [os.path.join(log_dir, n) for n in names]
-    ds = ray.data.read_parquet(paths, include_paths=True)
+    ds = ray.data.read_parquet(paths, include_paths=provenance)
+    if not provenance:
+        return ds
 
-    def provenance(t: pa.Table) -> pa.Table:
-        seg = pa.array([os.path.basename(p) for p in t.column("path").to_pylist()])
-        t = t.drop_columns(["path"])
-        return t.append_column("_segment", seg)
+    import pyarrow.compute as pc
 
-    return ds.map_batches(provenance, batch_format="pyarrow")
+    def stamp(t: pa.Table) -> pa.Table:
+        seg = pc.replace_substring_regex(t.column("path"), pattern=r"^.*/", replacement="")
+        return t.drop_columns(["path"]).append_column("_segment", seg)
+
+    return ds.map_batches(stamp, batch_format="pyarrow")
 
 
 def tail_once(
@@ -72,7 +76,6 @@ def tail_once(
     if max_segments_per_epoch:
         todo = todo[:max_segments_per_epoch]
     ds = read_segments(log_dir, todo)
-    ds = ds.map_batches(lambda t: t.drop_columns(["_segment"]), batch_format="pyarrow")
     dl = None
     if dead_letter_dir is not None:
         epoch = lake.manifest()["epoch"] + 1
