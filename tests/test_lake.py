@@ -224,6 +224,33 @@ def test_dead_letter_sink(lake, tmp_path):
     assert_eq(collect(lake.read()), fold_events(base, all_events))
 
 
+def test_all_dead_letter_segment_still_commits(lake, tmp_path):
+    """A segment whose every event is malformed must still be marked
+    applied (its rows live in the dead-letter stream) — otherwise the
+    tailer would retry it forever."""
+    bad = pa.table(
+        {
+            "lsn": pa.array([1, 2], type=pa.int64()),
+            "op": ["update", "update"],
+            "doc_id": ["a", "b"],
+            "tokens": pa.array([[1], [2]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([99, 99], type=pa.int32()),  # all inconsistent
+            "source": ["w", "w"],
+        }
+    )
+    log_dir = str(tmp_path / "badlog")
+    os.makedirs(log_dir)
+    pq.write_table(bad, os.path.join(log_dir, "seg-00000.parquet"))
+    res = tail_until_caught_up(lake, log_dir, dead_letter_dir=str(tmp_path / "dead"))
+    assert len(res) == 1
+    m = lake.manifest()
+    assert m["segments_applied"] == ["seg-00000.parquet"]
+    assert sum(p.get("live_rows", 0) for p in m["partitions"].values()) == 0
+    assert pq.read_table(str(tmp_path / "dead")).num_rows == 2
+    # nothing pending afterwards
+    assert tail_until_caught_up(lake, log_dir) == []
+
+
 def test_vacuum_removes_unreferenced_epochs(lake, tmp_path):
     base, log_dir, _ = make_log(tmp_path, seed=43, n_segments=3)
     seeded_lake(lake, base)
