@@ -431,6 +431,28 @@ def q_knn_ivf(sf_dir: str):
     return idx.search(idx.assign(ds), qv, k=10, nprobe=4)
 
 
+def q_pipeline_metrics(sf_dir: str):
+    """Metrics/provenance counters (LogCacheStatistics analog, S4/A1):
+    run a counted pipeline and return the accumulated counters as rows."""
+    from raycdc.metrics import Metrics, count_rows
+
+    m = Metrics("q_metrics")
+    m.reset()
+    ds = count_rows(_docs(sf_dir), "docs_seen", metrics_name="q_metrics")
+    n = ds.count()
+    m.incr("runs", 1)
+    import time
+
+    time.sleep(0.3)  # drain fire-and-forget increments
+    stats = m.stats()
+    return pa.table(
+        {
+            "counter": pa.array(sorted(stats)),
+            "value": pa.array([stats[k] for k in sorted(stats)], type=pa.int64()),
+        }
+    )
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal plumbing: deterministic fake media + actor-pool decode
     (real decoder stubbed — no image libs in container)."""
@@ -474,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
+        "pipeline_metrics": q_pipeline_metrics,
     }
 
 

@@ -131,6 +131,22 @@ def test_cast_widen():
     assert out.schema.field("n_tok").type == pa.int64()
 
 
+def test_udf_callable_rule():
+    """Expression-language analog: a rule value may be a Python callable
+    over the batch (ModifyDICOMTags.java:137-138 / SURVEY §2.9)."""
+    import pyarrow.compute as pc
+
+    def double_n_tok(t: pa.Table) -> pa.Array:
+        return pc.multiply(t["n_tok"], pa.scalar(2, type=pa.int32()))
+
+    rs = RuleSet.from_config(
+        {"rules": [{"column": "n_tok", "action": "map", "fn": double_n_tok}]}
+    )
+    t = small()
+    out = rs(t)
+    assert out["n_tok"].to_pylist() == [v * 2 for v in t["n_tok"].to_pylist()]
+
+
 def test_validate_config():
     rs = RuleSet(rules=[Rule(column="x", action="bogus")])
     assert rs.validate(pa.schema([("x", pa.int32())]))
