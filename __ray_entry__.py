@@ -439,12 +439,9 @@ def q_pipeline_metrics(sf_dir: str):
     m = Metrics("q_metrics")
     m.reset()
     ds = count_rows(_docs(sf_dir), "docs_seen", metrics_name="q_metrics")
-    n = ds.count()
+    ds.count()
     m.incr("runs", 1)
-    import time
-
-    time.sleep(0.3)  # drain fire-and-forget increments
-    stats = m.stats()
+    stats = m.stats_stable()  # poll until in-flight increments drain
     return pa.table(
         {
             "counter": pa.array(sorted(stats)),

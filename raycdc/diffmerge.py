@@ -48,23 +48,25 @@ def _derive_key(password: str, iterations: int) -> bytes:
     return hashlib.pbkdf2_hmac("sha256", password.encode(), b"raycdc-envelope", iterations)
 
 
-def seal(payload: bytes, password: str, iterations: int = 100) -> bytes:
+def seal(payload: bytes, password: str, iterations: int = 100, _key: bytes | None = None) -> bytes:
     """Deterministic authenticated envelope: AES-256-GCM with a nonce
     derived from the payload (SIV-style). Identical payload+password →
-    identical ciphertext, which keeps epoch outputs replay-stable."""
+    identical ciphertext, which keeps epoch outputs replay-stable.
+    Batch callers pass a pre-derived ``_key`` so the (intentionally
+    expensive) KDF runs once per call site, not once per row."""
     if not HAVE_CRYPTO:  # pragma: no cover
         raise NotImplementedError("cryptography library unavailable")
-    key = _derive_key(password, iterations)
+    key = _key if _key is not None else _derive_key(password, iterations)
     nonce = hashlib.sha256(b"nonce" + payload).digest()[:12]
     return nonce + AESGCM(key).encrypt(nonce, payload, None)
 
 
-def unseal(blob: bytes, password: str, iterations: int = 100) -> bytes | None:
+def unseal(blob: bytes, password: str, iterations: int = 100, _key: bytes | None = None) -> bytes | None:
     """Returns None when the password is wrong / blob corrupt (the
     'not decrypted' route), never raises for bad credentials."""
     if not HAVE_CRYPTO:  # pragma: no cover
         raise NotImplementedError("cryptography library unavailable")
-    key = _derive_key(password, iterations)
+    key = _key if _key is not None else _derive_key(password, iterations)
     try:
         return AESGCM(key).decrypt(blob[:12], blob[12:], None)
     except Exception:
@@ -94,6 +96,7 @@ def compute_changeset(
     """
     if original.num_rows != transformed.num_rows:
         raise ValueError("changeset requires row-aligned tables")
+    derived = _derive_key(password, iterations) if password else None  # KDF once per batch
     orig_rows = _row_values(original)
     new_rows = _row_values(transformed)
     blobs = []
@@ -101,7 +104,7 @@ def compute_changeset(
         changed = {c: o[c] for c in o if c not in n or n[c] != o[c]}
         patch = {"expect": {key: n.get(key)}, "restore": changed}
         raw = json.dumps(patch, sort_keys=True).encode()
-        blobs.append(seal(raw, password, iterations) if password else raw)
+        blobs.append(seal(raw, password, iterations, _key=derived) if password else raw)
     return transformed.append_column(CHANGESET_COL, pa.array(blobs, type=pa.binary()))
 
 
@@ -124,6 +127,13 @@ def apply_changeset(
     """
     from raycdc.routing import ROUTE_COL, ROUTE_OK
 
+    if batch.num_rows == 0:
+        # from_pylist([]) would collapse the schema to zero columns and
+        # break downstream unification on Ray's empty blocks
+        keep = batch.drop_columns([CHANGESET_COL]) if CHANGESET_COL in batch.column_names else batch
+        return keep.append_column("_route", pa.array([], type=pa.string()))
+
+    derived = _derive_key(password, iterations) if password else None  # KDF once per batch
     rows = batch.to_pylist()
     out_rows = []
     routes = []
@@ -133,7 +143,7 @@ def apply_changeset(
             routes.append(ROUTE_NOT_DECRYPTED)
             out_rows.append(r)
             continue
-        raw = unseal(bytes(blob), password, iterations) if password else bytes(blob)
+        raw = unseal(bytes(blob), password, iterations, _key=derived) if password else bytes(blob)
         if raw is None:
             routes.append(ROUTE_NOT_DECRYPTED)
             out_rows.append(r)

@@ -181,8 +181,9 @@ def minhash_near_dup(
     )
 
     def pairs(g: pa.Table) -> pa.Table:
+        id_type = g.schema.field(id_col).type
         if g.num_rows < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            return pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
                              "jaccard": pa.array([], pa.float64())})
         ids = g[id_col].to_pylist()
         texts = g[text_col].to_pylist()
@@ -196,7 +197,7 @@ def minhash_near_dup(
                 out_a.append(a)
                 out_b.append(b)
                 out_j.append(round(j, 6))
-        return pa.table({"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64()),
+        return pa.table({"id_a": pa.array(out_a, id_type), "id_b": pa.array(out_b, id_type),
                          "jaccard": pa.array(out_j, pa.float64())})
 
     cand = banded.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pyarrow")
@@ -293,7 +294,8 @@ def simhash_near_dup(ds: ray.data.Dataset, text_col: str = "text", id_col: str =
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
     def pairs(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g[id_col])
+        id_type = g.schema.field(id_col).type
+        ids = np.asarray(g[id_col].to_pylist(), dtype=object)
         sh = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.argsort(ids, kind="stable")
         ids, sh = ids[order], sh[order]
@@ -302,10 +304,10 @@ def simhash_near_dup(ds: ray.data.Dataset, text_col: str = "text", id_col: str =
             if i + 1 < len(ids):
                 hs = hamming64(np.repeat(sh[i], len(ids) - i - 1), sh[i + 1 :])
                 for off in np.nonzero(hs <= max_hamming)[0]:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[i + 1 + off]))
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + off])
                     out_h.append(int(hs[off]))
-        return pa.table({"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64()),
+        return pa.table({"id_a": pa.array(out_a, id_type), "id_b": pa.array(out_b, id_type),
                          "hamming": pa.array(out_h, pa.int64())})
 
     cand = exploded.groupby(["band_id", "band_val"]).map_groups(pairs, batch_format="pyarrow")
@@ -324,25 +326,25 @@ def embedding_near_dup(
     """Cosine near-dup via random-hyperplane LSH bucketing + in-bucket
     verification. Pairs missed by bucketing are the LSH recall tradeoff
     (documented); n_planes=0 degenerates to one bucket = exact O(n²)."""
-    import ray
-
-    rng = np.random.default_rng(seed)
+    if n_planes > 30:
+        raise ValueError("n_planes must be <= 30 (bucket is an int32 bitmask)")
 
     def bucketize(t: pa.Table) -> pa.Table:
         emb = t[emb_col].combine_chunks()
         mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
         if n_planes:
             planes = np.random.default_rng(seed).standard_normal((mat.shape[1], n_planes))
-            sig = (mat @ planes > 0).astype(np.uint8)
-            bucket = np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int32)
+            sig = (mat @ planes > 0).astype(np.int64)
+            bucket = (sig @ (1 << np.arange(n_planes, dtype=np.int64))).astype(np.int32)
         else:
             bucket = np.zeros(len(emb), dtype=np.int32)
         return t.append_column("_bucket", pa.array(bucket))
 
     def pairs(g: pa.Table) -> pa.Table:
+        id_type = g.schema.field(id_col).type
         emb = g[emb_col].combine_chunks()
         mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
-        ids = np.asarray(g[id_col])
+        ids = np.asarray(g[id_col].to_pylist(), dtype=object)
         order = np.argsort(ids, kind="stable")
         ids, mat = ids[order], mat[order]
         norms = np.linalg.norm(mat, axis=1)
@@ -353,8 +355,8 @@ def embedding_near_dup(
         keep = sims[ia, ib] >= threshold
         return pa.table(
             {
-                "id_a": pa.array(ids[ia[keep]].astype(np.int64)),
-                "id_b": pa.array(ids[ib[keep]].astype(np.int64)),
+                "id_a": pa.array(ids[ia[keep]].tolist(), id_type),
+                "id_b": pa.array(ids[ib[keep]].tolist(), id_type),
                 "cosine": pa.array(np.round(sims[ia, ib][keep], 6), type=pa.float64()),
             }
         )

@@ -113,13 +113,19 @@ class ResizeImage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.real:
             raise NotImplementedError("real resize needs an image library")
+        import pyarrow.compute as pc
+
         meta = batch["meta"].combine_chunks()
         names = [f.name for f in meta.type]
         fields = {n: meta.field(n) for n in names}
         n = batch.num_rows
         fields["width"] = pa.array(np.full(n, self.width, dtype=np.int32))
         fields["height"] = pa.array(np.full(n, self.height, dtype=np.int32))
-        rebuilt = pa.StructArray.from_arrays([fields[n_] for n_ in names], names=names)
+        rebuilt = pa.StructArray.from_arrays(
+            [fields[n_] for n_ in names],
+            names=names,
+            mask=pc.is_null(meta) if meta.null_count else None,
+        )
         return batch.set_column(batch.column_names.index("meta"), "meta", rebuilt)
 
 

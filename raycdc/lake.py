@@ -56,6 +56,14 @@ MANIFEST = "_manifest.json"
 META_COLS = ("lsn", "op")
 
 
+def _fsync_dir(path: str) -> None:
+    fd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -63,12 +71,21 @@ def _atomic_write_json(path: str, obj: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(path)
 
 
 def _atomic_write_parquet(path: str, table: pa.Table) -> None:
+    """Durable tmp+fsync+rename: the manifest swap is only a valid commit
+    point if the epoch files it references are already on stable storage."""
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     pq.write_table(table, tmp)
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.replace(tmp, path)
+    _fsync_dir(path)
 
 
 class LakeTable:

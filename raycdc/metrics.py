@@ -56,6 +56,21 @@ class Metrics:
     def stats(self) -> dict:
         return ray.get(self.actor.get_stats.remote())
 
+    def stats_stable(self, settle: float = 0.1, timeout: float = 5.0) -> dict:
+        """Counters after in-flight fire-and-forget increments drain:
+        poll until two consecutive reads agree (bounded by ``timeout``)."""
+        import time
+
+        prev = self.stats()
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            time.sleep(settle)
+            cur = self.stats()
+            if cur == prev:
+                return cur
+            prev = cur
+        return prev
+
     def reset(self) -> None:
         ray.get(self.actor.reset.remote())
 
@@ -81,11 +96,14 @@ class CountingStage:
         return batch
 
 
-def count_rows(ds, counter: str, metrics_name: str = "raycdc_metrics", batch_size: int = 65536):
+def count_rows(ds, counter: str, metrics_name: str = "raycdc_metrics", batch_size: int = 65536,
+               concurrency: int = 4):
+    # the stage is stateless per batch (shared state lives in the metrics
+    # actor), so it fans out freely — never a single-actor funnel
     return ds.map_batches(
         CountingStage,
         fn_constructor_kwargs={"counter": counter, "metrics_name": metrics_name},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=1,
+        concurrency=concurrency,
     )

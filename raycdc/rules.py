@@ -68,17 +68,24 @@ def _prefix_token(col: str, token: int):
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()
         n = len(lists)
+        is_null = pc.is_null(lists).to_numpy(zero_copy_only=False).astype(bool)
         lengths = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
         vals = lists.flatten().to_numpy(zero_copy_only=False)
+        # null rows stay null: zero-length spans, no prefix token
+        new_lens = np.where(is_null, 0, lengths + 1)
         new_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lengths + 1, out=new_off[1:])
-        new_vals = np.empty(len(vals) + n, dtype=vals.dtype if len(vals) else np.int32)
-        # vectorized interleave: prefix token sits at each row's new offset
-        new_vals[new_off[:-1]] = token
+        np.cumsum(new_lens, out=new_off[1:])
+        new_vals = np.empty(int(new_off[-1]), dtype=vals.dtype if len(vals) else np.int32)
+        # vectorized interleave: prefix token sits at each non-null row's offset
+        head_pos = new_off[:-1][~is_null]
+        new_vals[head_pos] = token
         mask = np.ones(len(new_vals), dtype=bool)
-        mask[new_off[:-1]] = False
+        mask[head_pos] = False
         new_vals[mask] = vals
-        return pa.ListArray.from_arrays(pa.array(new_off, type=pa.int32()), pa.array(new_vals))
+        null_mask = pa.array(is_null) if is_null.any() else None
+        return pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()), pa.array(new_vals), mask=null_mask
+        )
 
     return fn
 
@@ -248,7 +255,10 @@ def _apply_struct_rule(t: pa.Table, r: Rule, rs: RuleSet) -> pa.Table:
         return t
     sub = pa.table({n: sc.field(n) for n in names})
     sub = rs._apply_one(sub, Rule(column=child, action=r.action, value=r.value, fn=r.fn))
+    null_mask = pc.is_null(sc) if sc.null_count else None
     rebuilt = pa.StructArray.from_arrays(
-        [sub.column(n).combine_chunks() for n in sub.column_names], names=sub.column_names
+        [sub.column(n).combine_chunks() for n in sub.column_names],
+        names=sub.column_names,
+        mask=null_mask,  # preserve null struct rows (from_arrays drops validity)
     )
     return t.set_column(t.column_names.index(parent), parent, rebuilt)

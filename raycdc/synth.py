@@ -56,7 +56,9 @@ OPS = ("insert", "update", "delete")
 
 
 def _doc_ids(indices: np.ndarray) -> pa.Array:
-    return pa.array(np.char.add("doc-", np.char.zfill(indices.astype("U8"), 8)))
+    # U20 holds any int64; zfill pads short ids (astype("U8") would
+    # silently truncate indices >= 10^8 and collide ids at design scale)
+    return pa.array(np.char.add("doc-", np.char.zfill(indices.astype("U20"), 8)))
 
 
 def _tokens_for(seed: int, counters: np.ndarray, min_len: int, max_len: int):
@@ -141,8 +143,8 @@ def events_table(cfg: EventGenConfig, lsn_lo: int | None = None, lsn_hi: int | N
     base_idx = (tgt % np.uint64(max(1, cfg.n_base))).astype(np.int64)
     hot_idx = (tgt % np.uint64(max(1, cfg.hot_key_count))).astype(np.int64)
     key_idx = np.where(is_hot, hot_idx, base_idx)
-    ids = np.char.add("doc-", np.char.zfill(key_idx.astype("U8"), 8)).astype(object)
-    new_ids = np.char.add("doc-new-", np.char.zfill(lsn.astype("U8"), 8)).astype(object)
+    ids = np.char.add("doc-", np.char.zfill(key_idx.astype("U20"), 8)).astype(object)
+    new_ids = np.char.add("doc-new-", np.char.zfill(lsn.astype("U20"), 8)).astype(object)
     doc_id = pa.array(np.where(op_idx == 0, new_ids, ids))
 
     tokens, n_tok = _tokens_for(cfg.seed ^ 0x7077, lsn, cfg.min_len, cfg.max_len)
@@ -257,9 +259,13 @@ def write_base(
 def is_malformed_mask(events: pa.Table) -> np.ndarray:
     """An event is malformed iff its declared n_tok disagrees with the
     actual token-list length, or a non-delete carries no payload.
-    Fully vectorized (pyarrow.compute; no Python-object conversion)."""
+    Fully vectorized (pyarrow.compute; no Python-object conversion).
+    Streams without the tokens payload columns have no payload invariant
+    to violate — returns all-False (schema-tolerant, like every rule)."""
     import pyarrow.compute as pc
 
+    if "tokens" not in events.column_names or "n_tok" not in events.column_names:
+        return np.zeros(events.num_rows, dtype=bool)
     tokens = events["tokens"]
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()

@@ -127,3 +127,12 @@ def test_metrics_dump_json(tmp_path):
     import json
 
     assert json.load(open(p)) == s and s["applied"] == 7
+
+
+def test_apply_changeset_empty_batch_keeps_schema():
+    # code-review regression: from_pylist([]) collapses the schema
+    base = base_table(3, seed=6, min_len=4, max_len=8)
+    enc = compute_changeset(base, RULES(base)).slice(0, 0)
+    out = apply_changeset(enc)
+    assert out.num_rows == 0
+    assert set(out.column_names) == set(base.column_names) | {"_route"}

@@ -190,3 +190,29 @@ def test_multimodal_real_path_raises():
     assert m["width"] == 64 and m["height"] == 48
     frames = SampleFrames(every_n=8)(media)
     assert frames.num_rows >= media.num_rows  # ≥1 frame per row
+
+
+def string_doc_table():
+    t = doc_table()
+    return t.set_column(0, "doc_id", pa.array([f"doc-{i}" for i in range(t.num_rows)]))
+
+
+def test_near_dup_with_string_ids():
+    # code-review regression: pair emitters hard-cast ids to int64
+    ds = rd.from_arrow(string_doc_table())
+    mh = collect(minhash_near_dup(ds, threshold=0.3, k_shingle=3, num_perm=32, bands=16))
+    got = {(r["id_a"], r["id_b"]) for r in mh.to_pylist()}
+    assert ("doc-0", "doc-1") in got
+    sh = collect(simhash_near_dup(ds, max_hamming=3))
+    assert ("doc-0", "doc-1") in {(r["id_a"], r["id_b"]) for r in sh.to_pylist()}
+
+
+def test_embedding_near_dup_string_ids_and_many_planes():
+    t = emb_table()
+    t = t.set_column(0, "vec_id", pa.array([f"v{i:03d}" for i in range(t.num_rows)]))
+    pairs = collect(embedding_near_dup(rd.from_arrow(t), threshold=0.95, n_planes=12))
+    assert ("v000", "v001") in {(r["id_a"], r["id_b"]) for r in pairs.to_pylist()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_planes"):
+        collect(embedding_near_dup(rd.from_arrow(t), n_planes=31))

@@ -118,3 +118,18 @@ def test_load_identity_map_skips_null_keys(tmp_path):
     pq.write_table(t, p)
     m = load_identity_map(p)
     assert m == {"a": ("x", "s")}
+
+
+def test_validate_schema_tolerant():
+    """code-review regression: validation must not assume the tokens
+    payload columns (generic CDC streams may lack them)."""
+    t = pa.table(
+        {
+            "lsn": pa.array([1, 2], type=pa.int64()),
+            "op": ["insert", "bogus"],
+            "doc_id": ["a", "b"],
+            "value": [1.0, 2.0],
+        }
+    )
+    counts = route_counts(validate(rd.from_arrow(t)))
+    assert counts == {ROUTE_OK: 1, ROUTE_DEAD_LETTER: 1}

@@ -154,3 +154,36 @@ def test_validate_config():
     assert rs2.validate(pa.schema([]))
     ok = RuleSet.from_config({"rules": [{"column": "source", "action": "remove"}]})
     assert ok.validate(pa.schema([("source", pa.string())])) == []
+
+
+def test_struct_rule_preserves_null_rows():
+    # code-review regression: StructArray.from_arrays drops validity
+    t = pa.table(
+        {
+            "doc_id": ["a", "b"],
+            "meta": pa.array(
+                [{"author": "alice", "year": 2020}, None],
+                type=pa.struct([("author", pa.string()), ("year", pa.int32())]),
+            ),
+        }
+    )
+    rs = RuleSet.from_config({"rules": [{"column": "meta.author", "action": "replace", "value": "x"}]})
+    out = rs(t)
+    vals = out["meta"].to_pylist()
+    assert vals[0]["author"] == "x"
+    assert vals[1] is None  # null struct row stays null
+
+
+def test_prefix_token_preserves_null_lists():
+    t = pa.table({"tokens": pa.array([[1, 2], None, [3]], type=pa.list_(pa.int32()))})
+    rs = RuleSet.from_config(
+        {"rules": [{"column": "tokens", "action": "map", "fn": "prefix_token", "token": 9}]}
+    )
+    out = rs(t)
+    got = out["tokens"].to_pylist()
+    assert got == [[9, 1, 2], None, [9, 3]]
+    # and the result is parquet-writable (zero-length null spans)
+    import pyarrow.parquet as pq
+    import io
+
+    pq.write_table(out, io.BytesIO())
