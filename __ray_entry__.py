@@ -269,17 +269,20 @@ def q_knn_brute(sf_dir: str):
             mat = flat.reshape(len(emb), -1)
             norms = np.linalg.norm(mat, axis=1)
             sims = (mat @ self.q) / np.where(norms == 0, 1, norms)
-            out = pa.table(
-                {"vec_id": t["vec_id"], "sim": pa.array(np.round(sims, 6), type=pa.float64())}
-            )
-            # local top-k prune: only candidates leave the batch
+            # rank/prune on the RAW similarity (the oracle's ORDER BY is
+            # unrounded); rounding happens only at emit
+            out = pa.table({"vec_id": t["vec_id"], "sim": pa.array(sims, type=pa.float64())})
             idx = pc.sort_indices(
                 out, sort_keys=[("sim", "descending"), ("vec_id", "ascending")]
             )[:10]
             return out.take(idx)
 
     ds = rd.read_parquet(emb_path).map_batches(Score, batch_format="pyarrow", concurrency=2)
-    return ds.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
+    top = ds.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda t: t.set_column(t.column_names.index("sim"), "sim", pc.round(t["sim"], 6)),
+        batch_format="pyarrow",
+    )
 
 
 def q_derive_path(sf_dir: str):

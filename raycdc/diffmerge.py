@@ -25,6 +25,7 @@ Reference semantics (SURVEY.md §2.4 J4-J6, §2.8 C1-C4):
 from __future__ import annotations
 
 import hashlib
+import hmac
 import json
 
 import pyarrow as pa
@@ -42,31 +43,54 @@ ROUTE_NOT_DECRYPTED = "not_decrypted"
 
 
 # ------------------------------------------------------------------ envelope
-def _derive_key(password: str, iterations: int) -> bytes:
-    """PBKDF2 key derivation; ``iterations`` is the per-record compute
-    dial, default mirrors the reference's 100."""
-    return hashlib.pbkdf2_hmac("sha256", password.encode(), b"raycdc-envelope", iterations)
+DEFAULT_ITERATIONS = 100_000  # PBKDF2 cost dial (reference default was 100 —
+# deliberately raised; callers tune down only for tests/benchmarks)
+DEFAULT_SALT = b"raycdc-envelope-v2"  # override per deployment/lake: a random
+# salt generated once and stored alongside the data (not per record — the
+# envelope must stay deterministic for replay; the salt's job is to make the
+# derived key installation-specific against precomputed-password attacks)
 
 
-def seal(payload: bytes, password: str, iterations: int = 100, _key: bytes | None = None) -> bytes:
-    """Deterministic authenticated envelope: AES-256-GCM with a nonce
-    derived from the payload (SIV-style). Identical payload+password →
-    identical ciphertext, which keeps epoch outputs replay-stable.
-    Batch callers pass a pre-derived ``_key`` so the (intentionally
-    expensive) KDF runs once per call site, not once per row."""
+def _derive_key(password: str, iterations: int, salt: bytes = DEFAULT_SALT) -> bytes:
+    """PBKDF2 key derivation; ``iterations`` is the per-record compute dial."""
+    return hashlib.pbkdf2_hmac("sha256", password.encode(), salt, iterations)
+
+
+def seal(
+    payload: bytes,
+    password: str,
+    iterations: int = DEFAULT_ITERATIONS,
+    salt: bytes = DEFAULT_SALT,
+    _key: bytes | None = None,
+) -> bytes:
+    """Deterministic authenticated envelope: AES-256-GCM, SIV-style.
+
+    The nonce is **key-dependent** — HMAC-SHA256(key, payload)[:12] — so
+    equal payloads still seal identically under one key (replay-stable
+    epochs) but an attacker without the password can neither confirm a
+    guessed payload offline nor link equal payloads across keys (an
+    unkeyed payload hash would leak both). Batch callers pass a
+    pre-derived ``_key`` so the (intentionally expensive) KDF runs once
+    per call site, not once per row."""
     if not HAVE_CRYPTO:  # pragma: no cover
         raise NotImplementedError("cryptography library unavailable")
-    key = _key if _key is not None else _derive_key(password, iterations)
-    nonce = hashlib.sha256(b"nonce" + payload).digest()[:12]
+    key = _key if _key is not None else _derive_key(password, iterations, salt)
+    nonce = hmac.new(key, payload, hashlib.sha256).digest()[:12]
     return nonce + AESGCM(key).encrypt(nonce, payload, None)
 
 
-def unseal(blob: bytes, password: str, iterations: int = 100, _key: bytes | None = None) -> bytes | None:
+def unseal(
+    blob: bytes,
+    password: str,
+    iterations: int = DEFAULT_ITERATIONS,
+    salt: bytes = DEFAULT_SALT,
+    _key: bytes | None = None,
+) -> bytes | None:
     """Returns None when the password is wrong / blob corrupt (the
     'not decrypted' route), never raises for bad credentials."""
     if not HAVE_CRYPTO:  # pragma: no cover
         raise NotImplementedError("cryptography library unavailable")
-    key = _key if _key is not None else _derive_key(password, iterations)
+    key = _key if _key is not None else _derive_key(password, iterations, salt)
     try:
         return AESGCM(key).decrypt(blob[:12], blob[12:], None)
     except Exception:
@@ -74,8 +98,23 @@ def unseal(blob: bytes, password: str, iterations: int = 100, _key: bytes | None
 
 
 # ------------------------------------------------------------------ diff
-def _row_values(t: pa.Table) -> list[dict]:
-    return t.to_pylist()
+def _changed_mask(o_col: pa.ChunkedArray, n_col: pa.ChunkedArray, n_rows: int):
+    """Null-aware vectorized per-row inequality; falls back to a Python
+    compare only for types pyarrow.compute can't equal (nested lists)."""
+    import numpy as np
+
+    o = o_col.combine_chunks() if isinstance(o_col, pa.ChunkedArray) else o_col
+    n = n_col.combine_chunks() if isinstance(n_col, pa.ChunkedArray) else n_col
+    try:
+        import pyarrow.compute as pc
+
+        eq = pc.fill_null(pc.equal(o, n), False)
+        both_null = pc.and_(pc.is_null(o), pc.is_null(n))
+        same = pc.or_(eq, both_null)
+        return ~np.asarray(same.to_numpy(zero_copy_only=False), dtype=bool)
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+        ol, nl = o.to_pylist(), n.to_pylist()
+        return np.fromiter((a != b for a, b in zip(ol, nl)), dtype=bool, count=n_rows)
 
 
 def compute_changeset(
@@ -83,7 +122,8 @@ def compute_changeset(
     transformed: pa.Table,
     key: str = "doc_id",
     password: str | None = None,
-    iterations: int = 100,
+    iterations: int = DEFAULT_ITERATIONS,
+    salt: bytes = DEFAULT_SALT,
 ) -> pa.Table:
     """Row-aligned diff: for every row, record the original values of the
     columns the transform removed or modified (plus removed-column data),
@@ -93,18 +133,35 @@ def compute_changeset(
     ``original`` and ``transformed`` must be positionally aligned — they
     are two versions of the same batch, exactly like the reference's
     two parses of one record (``DeidentifyEncryptDICOM.java:214-231``).
+
+    Diff *detection* is column-wise vectorized (``pc.equal`` masks);
+    Python touches only the (row, column) cells that actually changed.
+    The per-row JSON+seal is inherent to the envelope format.
     """
     if original.num_rows != transformed.num_rows:
         raise ValueError("changeset requires row-aligned tables")
-    derived = _derive_key(password, iterations) if password else None  # KDF once per batch
-    orig_rows = _row_values(original)
-    new_rows = _row_values(transformed)
+    n_rows = original.num_rows
+    derived = _derive_key(password, iterations, salt) if password else None  # KDF once/batch
+    # column-wise change masks: removed columns are all-changed; shared
+    # columns diff vectorized; values fetched per-column only when needed
+    import numpy as np
+
+    changed: dict[str, tuple] = {}
+    for c in original.column_names:
+        if c not in transformed.column_names:
+            mask = np.ones(n_rows, dtype=bool)
+        else:
+            mask = _changed_mask(original[c], transformed[c], n_rows)
+            if not mask.any():
+                continue
+        changed[c] = (mask, original[c].to_pylist())
+    keys_new = transformed[key].to_pylist() if key in transformed.column_names else [None] * n_rows
     blobs = []
-    for o, n in zip(orig_rows, new_rows):
-        changed = {c: o[c] for c in o if c not in n or n[c] != o[c]}
-        patch = {"expect": {key: n.get(key)}, "restore": changed}
+    for i in range(n_rows):
+        restore = {c: vals[i] for c, (mask, vals) in changed.items() if mask[i]}
+        patch = {"expect": {key: keys_new[i]}, "restore": restore}
         raw = json.dumps(patch, sort_keys=True).encode()
-        blobs.append(seal(raw, password, iterations, _key=derived) if password else raw)
+        blobs.append(seal(raw, password, iterations, salt, _key=derived) if password else raw)
     return transformed.append_column(CHANGESET_COL, pa.array(blobs, type=pa.binary()))
 
 
@@ -112,7 +169,8 @@ def apply_changeset(
     batch: pa.Table,
     key: str = "doc_id",
     password: str | None = None,
-    iterations: int = 100,
+    iterations: int = DEFAULT_ITERATIONS,
+    salt: bytes = DEFAULT_SALT,
     accept_new: bool = False,
 ) -> pa.Table:
     """Merge re-apply (LWW overwrite): restore original values from each
@@ -133,7 +191,7 @@ def apply_changeset(
         keep = batch.drop_columns([CHANGESET_COL]) if CHANGESET_COL in batch.column_names else batch
         return keep.append_column("_route", pa.array([], type=pa.string()))
 
-    derived = _derive_key(password, iterations) if password else None  # KDF once per batch
+    derived = _derive_key(password, iterations, salt) if password else None  # KDF once per batch
     rows = batch.to_pylist()
     out_rows = []
     routes = []
@@ -143,7 +201,7 @@ def apply_changeset(
             routes.append(ROUTE_NOT_DECRYPTED)
             out_rows.append(r)
             continue
-        raw = unseal(bytes(blob), password, iterations, _key=derived) if password else bytes(blob)
+        raw = unseal(bytes(blob), password, iterations, salt, _key=derived) if password else bytes(blob)
         if raw is None:
             routes.append(ROUTE_NOT_DECRYPTED)
             out_rows.append(r)
@@ -186,29 +244,36 @@ class DeidentifyEncrypt:
     CPU-bound (PBKDF2 per batch of rows) → run as ``map_batches(cls,
     concurrency=N)`` with ``iterations`` as the compute dial."""
 
-    def __init__(self, ruleset, key: str = "doc_id", password: str | None = None, iterations: int = 100):
+    def __init__(self, ruleset, key: str = "doc_id", password: str | None = None,
+                 iterations: int = DEFAULT_ITERATIONS, salt: bytes = DEFAULT_SALT):
         self.ruleset = ruleset
         self.key = key
         self.password = password
         self.iterations = iterations
+        self.salt = salt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         transformed = self.ruleset(batch)
         return compute_changeset(
-            batch, transformed, key=self.key, password=self.password, iterations=self.iterations
+            batch, transformed, key=self.key, password=self.password,
+            iterations=self.iterations, salt=self.salt,
         )
 
 
 class DecryptReidentify:
     """Actor-pool stage for the reverse path."""
 
-    def __init__(self, key: str = "doc_id", password: str | None = None, iterations: int = 100, accept_new: bool = False):
+    def __init__(self, key: str = "doc_id", password: str | None = None,
+                 iterations: int = DEFAULT_ITERATIONS, salt: bytes = DEFAULT_SALT,
+                 accept_new: bool = False):
         self.key = key
         self.password = password
         self.iterations = iterations
+        self.salt = salt
         self.accept_new = accept_new
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return apply_changeset(
-            batch, key=self.key, password=self.password, iterations=self.iterations, accept_new=self.accept_new
+            batch, key=self.key, password=self.password, iterations=self.iterations,
+            salt=self.salt, accept_new=self.accept_new,
         )

@@ -55,11 +55,14 @@ def knn_brute(
             sims = mat @ self.q.T  # (n, q)
             outs = []
             for qi in range(sims.shape[1]):
+                # prune on RAW similarity; round only at final emit (a
+                # pre-round could flip ties at the k-th cutoff vs an
+                # unrounded oracle ORDER BY)
                 tt = pa.table(
                     {
                         "query_id": pa.array(np.full(len(mat), qi, dtype=np.int64)),
                         id_col: t[id_col],
-                        "sim": pa.array(np.round(sims[:, qi], 6), type=pa.float64()),
+                        "sim": pa.array(sims[:, qi], type=pa.float64()),
                     }
                 )
                 idx = pc.sort_indices(tt, sort_keys=[("sim", "descending"), (id_col, "ascending")])[:k]
@@ -71,7 +74,8 @@ def knn_brute(
 
     def topk(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=[("sim", "descending"), (id_col, "ascending")])[:k]
-        return g.take(idx)
+        out = g.take(idx)
+        return out.set_column(out.column_names.index("sim"), "sim", pc.round(out["sim"], 6))
 
     return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -58,7 +59,13 @@ def partial_groupby_agg(
         renames = {}
         for out, (col, kern) in specs.items():
             pa_kern = _COMBINERS[kern][0]
-            aggs.append((col, pa_kern))
+            if kern == "count":
+                # count(*) semantics: count nulls too (pyarrow defaults to
+                # valid-only, which would silently diverge from the SQL
+                # oracles on nullable columns)
+                aggs.append((col, pa_kern, pc.CountOptions(mode="all")))
+            else:
+                aggs.append((col, pa_kern))
             renames[f"{col}_{pa_kern}"] = out
         g = t.group_by(keys).aggregate(aggs)
         names = [renames.get(n, n) for n in g.column_names]
@@ -120,10 +127,23 @@ def broadcast_lookup(
 
 
 def grouped_min_broadcast(
-    ds: ray.data.Dataset, key: str, col: str, batch_size: int = 65536
+    ds: ray.data.Dataset, key: str, col: str, batch_size: int = 65536,
+    max_keys: int = 5_000_000,
 ) -> dict:
     """Per-key minimum as a driver-side dict (small key domain — the
     date-shift epoch pattern). Uses the partial-agg path so the shuffle
-    is over per-batch partials only."""
+    is over per-batch partials only.
+
+    Contract: the key domain must fit on the driver — ``max_keys`` bounds
+    it explicitly (raises beyond). For doc_id-cardinality keys use
+    ``partial_groupby_agg`` + a broadcast-join dataset path instead."""
     agg = partial_groupby_agg(ds, key, {"_min": (col, "min")}, batch_size=batch_size)
-    return {r[key]: r["_min"] for r in agg.take_all()}
+    out = {}
+    for r in agg.iter_rows():
+        out[r[key]] = r["_min"]
+        if len(out) > max_keys:
+            raise ValueError(
+                f"grouped_min_broadcast: key domain exceeds max_keys={max_keys}; "
+                "use a distributed broadcast-join path for high-cardinality keys"
+            )
+    return out

@@ -75,7 +75,11 @@ def _prefix_token(col: str, token: int):
         new_lens = np.where(is_null, 0, lengths + 1)
         new_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(new_lens, out=new_off[1:])
-        new_vals = np.empty(int(new_off[-1]), dtype=vals.dtype if len(vals) else np.int32)
+        # dtype from the list's declared value type, NOT from whether the
+        # flattened values happen to be non-empty (an all-empty batch of a
+        # list<int64> column must still come back list<int64>)
+        decl_dtype = np.dtype(lists.type.value_type.to_pandas_dtype())
+        new_vals = np.empty(int(new_off[-1]), dtype=vals.dtype if len(vals) else decl_dtype)
         # vectorized interleave: prefix token sits at each non-null row's offset
         head_pos = new_off[:-1][~is_null]
         new_vals[head_pos] = token
