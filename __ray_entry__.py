@@ -156,6 +156,61 @@ def q_pseudo_identity(sf_dir: str):
     return _docs(sf_dir).map_batches(gen, batch_format="pyarrow")
 
 
+def q_cdc_replay_events(sf_dir: str):
+    """The flagship CDC path under the driver's DuckDB oracle: the
+    driver's events table is cut into changelog segments, tailed through
+    the real ingest stack — tailer → ValidateAndDivert → LakeTable.apply
+    (exactly-once epoch commits, delta state files, manifest swap) — and
+    the converged lake state is read back (merge-on-read LWW fold).
+    key=user_id, lsn=event_id; oracle = the LWW window function.
+    Mirrors the reference flagship flow ListenDICOM → DeidentifyDICOM →
+    PutDICOM (DeidentifyDICOM.java:173-193, PutDICOM.java:123-263) and
+    the DeidentifyDICOMTest.java:56-103 state assertions."""
+    import shutil
+    import uuid
+
+    from raycdc.lake import LakeTable
+    from raycdc.tailer import tail_until_caught_up
+
+    work = f"/tmp/raycdc_work/events_replay_{uuid.uuid4().hex[:8]}"
+    log_dir = os.path.join(work, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    ev = pa.table(
+        {
+            "lsn": ev["event_id"].cast(pa.int64()),
+            "op": pa.array(["insert"] * ev.num_rows),
+            "user_id": ev["user_id"],
+            "event_type": ev["event_type"],
+            "value": ev["value"],
+        }
+    )
+    n_seg = 6
+    step = (ev.num_rows + n_seg - 1) // n_seg or 1
+    for k in range(0, n_seg):
+        seg = ev.slice(k * step, step)
+        if seg.num_rows:
+            pq.write_table(seg, os.path.join(log_dir, f"seg-{k:05d}.parquet"))
+
+    lake = LakeTable(os.path.join(work, "lake"), num_partitions=8, key="user_id")
+    lake.init()
+    # two epochs (3 segments each) so the converged read spans multiple
+    # delta commits, then the exactly-once read-back
+    tail_until_caught_up(lake, log_dir, max_segments_per_epoch=3)
+    out = lake.read(include_tombstones=True)
+
+    def emit(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "lsn", "event_type", "value"])
+        return t.set_column(3, "value", pc.round(t["value"], 2))
+
+    res = out.map_batches(emit, batch_format="pyarrow").materialize()
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_cdc_replay_tokens(sf_dir: str):
     """THE flagship (north star): full CDC replay over the synthesized
     pre-tokenized-sequence table — changelog tail → validate/dead-letter
@@ -477,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_route_matrix": q_cdc_route_matrix,
         "cdc_orphan_routing": q_cdc_orphan_routing,
         "cdc_date_shift": q_cdc_date_shift,
+        "cdc_replay_events": q_cdc_replay_events,
         "cdc_replay_tokens": q_cdc_replay_tokens,
         "pseudo_identity": q_pseudo_identity,
         "q1_lineitem": q_q1_lineitem,
@@ -529,6 +585,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS shift_us
             FROM events
+        """,
+        "cdc_replay_events": """
+            SELECT user_id, event_id AS lsn, event_type, round(value, 2) AS value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1
         """,
         "pseudo_identity": """
             SELECT doc_id,
