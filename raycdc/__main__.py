@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -71,6 +72,8 @@ def main(argv=None) -> int:
 
     st = sub.add_parser("status", help="manifest summary")
     st.add_argument("lake")
+    st.add_argument("--exact", action="store_true",
+                    help="compute exact live rows (merge-on-read scan; needs Ray)")
 
     rd_ = sub.add_parser("read", help="export the converged table snapshot")
     rd_.add_argument("lake")
@@ -151,14 +154,22 @@ def main(argv=None) -> int:
 
     if args.cmd == "status":
         m = lk.manifest()
-        live = sum(pt.get("live_rows", 0) for pt in m["partitions"].values())
+        ents = list(m["partitions"].values())
+        exact = all(pt.get("live_rows") is not None for pt in ents)
+        if args.exact and not exact:
+            _ray_up(args.num_cpus)
+            live, exact = lk.live_rows(), True
+        else:
+            live = sum(pt.get("live_rows") or 0 for pt in ents) if exact else None
         print(
             json.dumps(
                 {
                     "epoch": m["epoch"],
                     "partitions": m["num_partitions"],
                     "segments_applied": len(m["segments_applied"]),
-                    "live_rows": live,
+                    "live_rows": live,  # None ⇒ deltas pending (use --exact)
+                    "state_rows": sum(int(pt.get("rows", 0)) for pt in ents),
+                    "pending_deltas": sum(len(pt.get("deltas", [])) for pt in ents),
                     "last_history": (m.get("history") or [None])[-1],
                 }
             )
@@ -169,7 +180,14 @@ def main(argv=None) -> int:
         _ray_up(args.num_cpus)
         ds = lk.read()
         ds.write_parquet(args.out)
-        print(json.dumps({"out": args.out, "rows": lk_count(lk)}))
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
+            for f in os.listdir(args.out)
+            if f.endswith(".parquet")
+        )
+        print(json.dumps({"out": args.out, "rows": rows}))
         return 0
 
     if args.cmd == "vacuum":
@@ -178,11 +196,6 @@ def main(argv=None) -> int:
         return 0
 
     return 1
-
-
-def lk_count(lk) -> int:
-    m = lk.manifest()
-    return sum(pt.get("live_rows", 0) for pt in m["partitions"].values())
 
 
 if __name__ == "__main__":

@@ -1,5 +1,6 @@
 """The Parquet lake: partitioned converged state with an exactly-once
-epoch/manifest commit protocol and checkpoint-resume.
+epoch/manifest commit protocol, **delta-epoch commits with
+merge-on-read**, threshold compaction, and checkpoint-resume.
 
 Reference capabilities re-expressed (SURVEY.md §2.1 S2/S5, §2.7 W4/W5):
 
@@ -18,16 +19,30 @@ Reference capabilities re-expressed (SURVEY.md §2.1 S2/S5, §2.7 W4/W5):
 * Flyway bootstrap (``V1.0__create.sql``) → :meth:`LakeTable.init`
   (idempotent manifest v0).
 
-State model: each partition's state file holds the converged rows PLUS
-their winning ``lsn`` and ``op`` — including **delete tombstones**.
-Tombstones are what make at-least-once replay safe: a re-delivered
-older insert loses the LWW fold against the tombstone instead of
-resurrecting a deleted row. ``read()`` filters tombstones out.
-Idempotent segment re-application is exact (manifest tracks applied
-segment names); per-partition LSN watermarks are recorded for
-lineage/metrics and resume diagnostics, *not* used to drop events
-(a per-partition watermark would wrongly drop a late first event for an
-untouched key — per-key LWW against state handles disorder correctly).
+**Write-amplification design (the 100-TB property).** An epoch writes,
+per touched partition, a *delta* file containing only that epoch's
+(LWW-reduced) events — bytes written are proportional to events applied,
+NOT to state size. ``read()`` is merge-on-read: each partition's base +
+deltas are folded (per-key last-writer-wins) inside a parallel Ray task.
+When a partition's pending delta count reaches ``compact_deltas``, the
+epoch write compacts that partition (base ⊔ deltas ⊔ new events → a new
+base) — amortized rewrite cost O(state / compact_deltas) per epoch, and
+read fan-in bounded by ``compact_deltas`` files. The very first write to
+a partition goes straight to a base file (it is already fully folded).
+
+State model: state files hold the converged rows PLUS their winning
+``lsn`` and ``op`` — including **delete tombstones**. Tombstones are
+what make at-least-once replay safe: a re-delivered older insert loses
+the LWW fold against the tombstone instead of resurrecting a deleted
+row. ``read()`` filters tombstones out; ``compact_tombstones`` drops
+them permanently once upstream segments can no longer be replayed.
+
+Concurrency: a writer lock file (O_EXCL) is held for the duration of
+``apply``/compaction and the manifest epoch is re-checked immediately
+before the swap (CAS) — two concurrent writers cannot silently discard
+each other's committed epochs. Locks from dead processes are broken by
+pid-liveness (single-host check; on a shared filesystem at cluster
+scale this becomes a lease, which the manifest CAS still backstops).
 
 Scale: ``num_partitions`` bounds per-task state (O(total rows / P));
 output is partitioned parquet so a failed run resumes by skipping
@@ -53,6 +68,7 @@ from raycdc.schema_evo import conform_to, schema_from_str, schema_to_str, unify
 from raycdc.util import bucket_of
 
 MANIFEST = "_manifest.json"
+WRITER_LOCK = "_writer.lock"
 META_COLS = ("lsn", "op")
 
 
@@ -88,6 +104,70 @@ def _atomic_write_parquet(path: str, table: pa.Table) -> None:
     _fsync_dir(path)
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
+def _part_files(ent: dict) -> tuple[str | None, list[str]]:
+    """(base, deltas) of a manifest partition entry; understands the v1
+    single-file layout (``{"file": ...}``) for old manifests."""
+    if "file" in ent:
+        return ent["file"], []
+    return ent.get("base"), list(ent.get("deltas", []))
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another writer holds the lake lock or committed a competing epoch."""
+
+
+class _WriterLock:
+    """O_EXCL lock file held across an apply/compact; breaks locks whose
+    owner pid is dead (crashed writer)."""
+
+    def __init__(self, lake_path: str):
+        self.path = os.path.join(lake_path, WRITER_LOCK)
+        self._held = False
+
+    def __enter__(self):
+        for attempt in (0, 1):
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time():.0f}".encode())
+                os.close(fd)
+                self._held = True
+                return self
+            except FileExistsError:
+                try:
+                    owner = int(open(self.path).read().split()[0])
+                except (OSError, ValueError, IndexError):
+                    owner = -1
+                if attempt == 0 and (owner == -1 or not _pid_alive(owner)):
+                    # stale lock from a crashed writer — break and retry once
+                    try:
+                        os.remove(self.path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise ConcurrentWriterError(
+                    f"lake is locked by live writer pid={owner} ({self.path}); "
+                    "LakeTable requires a single writer at a time"
+                )
+
+    def __exit__(self, *exc):
+        if self._held:
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
+        return False
+
+
 class LakeTable:
     """A key-partitioned, epoch-versioned Parquet table with exactly-once
     incremental apply. One instance is a lightweight handle — all real
@@ -100,11 +180,13 @@ class LakeTable:
         key: str = "doc_id",
         lsn_col: str = "lsn",
         op_col: str = "op",
+        compact_deltas: int = 4,
     ):
         self.path = path
         self.key = key
         self.lsn_col = lsn_col
         self.op_col = op_col
+        self.compact_deltas = compact_deltas
         self._requested_partitions = num_partitions
 
     # ------------------------------------------------------------ manifest
@@ -126,48 +208,96 @@ class LakeTable:
         if self.exists():
             return self.manifest()
         m = {
-            "version": 1,
+            "version": 2,
             "epoch": 0,
             "num_partitions": self._requested_partitions,
             "key": self.key,
             "segments_applied": [],
-            "partitions": {},  # str(pid) -> {file, rows, live_rows, watermark}
+            # str(pid) -> {base, deltas, rows, live_rows|None, watermark}
+            "partitions": {},
             "history": [],
         }
         _atomic_write_json(self.manifest_path, m)
         return m
 
     # ------------------------------------------------------------ read
+    def _fold_partition_fn(self, schema_str: str | None, include_tombstones: bool):
+        key, lsn_col, op_col = self.key, self.lsn_col, self.op_col
+        lake_path = self.path
+        conform = conform_to(schema_from_str(schema_str)) if schema_str else None
+
+        def fold(batch: pa.Table) -> pa.Table:
+            outs = []
+            for row in batch.to_pylist():
+                files = json.loads(row["files"])
+                parts = [pq.read_table(os.path.join(lake_path, f)) for f in files]
+                if conform is not None:
+                    parts = [conform(p) for p in parts]
+                t = (
+                    parts[0]
+                    if len(parts) == 1
+                    else pa.concat_tables(parts, promote_options="permissive")
+                )
+                if len(parts) > 1:  # base files are already one-row-per-key
+                    t = last_writer_per_key(t, key=key, lsn_col=lsn_col)
+                if not include_tombstones:
+                    t = drop_tombstones(t, op_col)
+                    t = t.drop_columns([c for c in META_COLS if c in t.column_names])
+                outs.append(t)
+            return pa.concat_tables(outs, promote_options="permissive")
+
+        return fold
+
+    def _descriptors(self, m: dict) -> list[dict]:
+        descs = []
+        for pid, ent in m["partitions"].items():
+            base, deltas = _part_files(ent)
+            files = ([base] if base else []) + deltas
+            if files:
+                descs.append({"pid": int(pid), "files": json.dumps(files)})
+        return descs
+
     def read(self, include_tombstones: bool = False) -> ray.data.Dataset:
-        """The current converged table as a streaming Dataset."""
+        """The current converged table as a streaming Dataset —
+        merge-on-read: one Ray task per partition folds base + deltas."""
         m = self.manifest()
-        files = [os.path.join(self.path, p["file"]) for p in m["partitions"].values()]
-        if not files:
+        descs = self._descriptors(m)
+        if not descs:
             return ray.data.from_arrow(pa.table({}))
-        ds = ray.data.read_parquet(files)
-        if m.get("schema"):
-            # partitions written in different epochs may predate a schema
-            # evolution — conform every block to the table's current schema
-            ds = ds.map_batches(conform_to(schema_from_str(m["schema"])), batch_format="pyarrow")
-        if include_tombstones:
-            return ds
-
-        def strip(t: pa.Table) -> pa.Table:
-            t = drop_tombstones(t, self.op_col)
-            return t.drop_columns([c for c in META_COLS if c in t.column_names])
-
-        return ds.map_batches(strip, batch_format="pyarrow")
+        ds = ray.data.from_items(descs, override_num_blocks=len(descs))
+        return ds.map_batches(
+            self._fold_partition_fn(m.get("schema"), include_tombstones),
+            batch_format="pyarrow",
+        )
 
     def read_partition(self, pid: int, include_tombstones: bool = False) -> pa.Table:
         m = self.manifest()
         ent = m["partitions"].get(str(pid))
         if ent is None:
             return None
-        t = pq.read_table(os.path.join(self.path, ent["file"]))
+        base, deltas = _part_files(ent)
+        files = ([base] if base else []) + deltas
+        parts = [pq.read_table(os.path.join(self.path, f)) for f in files]
+        if m.get("schema"):
+            conform = conform_to(schema_from_str(m["schema"]))
+            parts = [conform(p) for p in parts]
+        t = parts[0] if len(parts) == 1 else pa.concat_tables(parts, promote_options="permissive")
+        if len(parts) > 1:
+            t = last_writer_per_key(t, key=self.key, lsn_col=self.lsn_col)
+        t = t.sort_by(self.key)
         if not include_tombstones:
             t = drop_tombstones(t, self.op_col)
             t = t.drop_columns([c for c in META_COLS if c in t.column_names])
         return t
+
+    def live_rows(self) -> int:
+        """Exact live-row count. Free when every partition is compacted
+        (manifest metadata); otherwise one merge-on-read counting scan."""
+        m = self.manifest()
+        ents = m["partitions"].values()
+        if all(ent.get("live_rows") is not None for ent in ents):
+            return sum(ent["live_rows"] for ent in ents)
+        return self.read().count()
 
     # ------------------------------------------------------------ apply
     def apply(
@@ -187,6 +317,10 @@ class LakeTable:
 
         Events must be pre-validated (see routing.split_valid); the
         stream must carry (key, lsn, op, payload...) columns.
+
+        Bytes written per epoch ∝ events applied (delta files), except
+        for partitions whose pending delta count reached
+        ``compact_deltas`` — those are compacted in the same epoch.
         """
         m = self.manifest()
         done = set(m["segments_applied"])
@@ -198,13 +332,20 @@ class LakeTable:
                 "segment batch partially committed — tailer must pass only uncommitted segments"
             )
 
+        with _WriterLock(self.path):
+            return self._apply_locked(m, new_names, events_ds, batch_size)
+
+    def _apply_locked(self, m: dict, new_names: list[str], events_ds, batch_size: int) -> dict:
         epoch = m["epoch"] + 1
         P = m["num_partitions"]
         key, lsn_col, op_col = self.key, self.lsn_col, self.op_col
         lake_path = self.path
+        compact_deltas = self.compact_deltas
         epoch_rel = f"state/e{epoch:06d}"
         os.makedirs(os.path.join(lake_path, epoch_rel), exist_ok=True)
-        part_files = {int(k): v["file"] for k, v in m["partitions"].items()}
+        part_entries = {
+            int(k): _part_files(v) for k, v in m["partitions"].items()
+        }  # pid -> (base, deltas)
 
         t0 = time.time()
 
@@ -219,32 +360,41 @@ class LakeTable:
         bucketed = reduced.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
 
         def merge_partition(group: pa.Table) -> pa.Table:
-            """Per-partition merge: old state ⊔ events → new epoch file.
-            Deterministic content (sorted by key), tmp+rename write —
-            safe under Ray task retries."""
+            """Per-partition epoch write: fold THIS epoch's events to one
+            row per key, then either append a delta file (cheap, O(epoch
+            events)) or — first write / threshold reached — compact into
+            a new base. Deterministic content, tmp+rename write — safe
+            under Ray task retries."""
             pid = int(group["_bucket"][0].as_py())
             group = group.drop_columns(["_bucket"])
-            old_file = part_files.get(pid)
-            parts = []
-            if old_file is not None:
-                parts.append(pq.read_table(os.path.join(lake_path, old_file)))
-            parts.append(group)
-            allt = pa.concat_tables(parts, promote_options="permissive")
-            merged = last_writer_per_key(allt, key=key, lsn_col=lsn_col)
-            merged = merged.sort_by(key)
-            rel = f"{epoch_rel}/part-{pid:05d}.parquet"
-            _atomic_write_parquet(os.path.join(lake_path, rel), merged)
-            live = drop_tombstones(merged, op_col).num_rows
-            wm = pc.max(merged[lsn_col]).as_py() if merged.num_rows else -1
+            folded = last_writer_per_key(group, key=key, lsn_col=lsn_col).sort_by(key)
+            base, deltas = part_entries.get(pid, (None, []))
+            compact = base is None or len(deltas) + 1 >= compact_deltas
+            if compact:
+                old = [
+                    pq.read_table(os.path.join(lake_path, f))
+                    for f in (([base] if base else []) + deltas)
+                ]
+                if old:
+                    allt = pa.concat_tables([*old, folded], promote_options="permissive")
+                    folded = last_writer_per_key(allt, key=key, lsn_col=lsn_col).sort_by(key)
+                rel = f"{epoch_rel}/part-{pid:05d}.parquet"
+                live = drop_tombstones(folded, op_col).num_rows
+            else:
+                rel = f"{epoch_rel}/part-{pid:05d}.delta.parquet"
+                live = -1  # unknown without reading base state (by design)
+            _atomic_write_parquet(os.path.join(lake_path, rel), folded)
+            wm = pc.max(folded[lsn_col]).as_py() if folded.num_rows else -1
             return pa.table(
                 {
                     "pid": pa.array([pid], type=pa.int64()),
                     "file": pa.array([rel]),
-                    "rows": pa.array([merged.num_rows], type=pa.int64()),
+                    "kind": pa.array(["base" if compact else "delta"]),
+                    "rows": pa.array([folded.num_rows], type=pa.int64()),
                     "live_rows": pa.array([live], type=pa.int64()),
                     "watermark": pa.array([wm], type=pa.int64()),
                     "events_in": pa.array([group.num_rows], type=pa.int64()),
-                    "schema": pa.array([schema_to_str(merged.schema)]),
+                    "schema": pa.array([schema_to_str(folded.schema)]),
                 }
             )
 
@@ -254,22 +404,48 @@ class LakeTable:
             .take_all()
         )
 
-        # ---- commit point: single atomic manifest swap
-        partitions = dict(m["partitions"])
+        # ---- commit point: single atomic manifest swap (with epoch CAS)
+        partitions = {
+            k: dict(v) for k, v in m["partitions"].items()
+        }
         touched = 0
         events_in = 0
+        compactions = 0
         for r in stats_rows:
-            partitions[str(r["pid"])] = {
-                "file": r["file"],
-                "rows": int(r["rows"]),
-                "live_rows": int(r["live_rows"]),
-                "watermark": int(r["watermark"]),
-            }
+            pid = str(r["pid"])
+            old = partitions.get(pid, {})
+            old_base, old_deltas = _part_files(old) if old else (None, [])
+            wm = max(int(r["watermark"]), int(old.get("watermark", -1)))
+            if r["kind"] == "base":
+                ent = {
+                    "base": r["file"],
+                    "deltas": [],
+                    "rows": int(r["rows"]),
+                    "live_rows": int(r["live_rows"]),
+                    "watermark": wm,
+                }
+                compactions += 1 if (old_base or old_deltas) else 0
+            else:
+                ent = {
+                    "base": old_base,
+                    "deltas": old_deltas + [r["file"]],
+                    "rows": int(old.get("rows", 0)) + int(r["rows"]),
+                    "live_rows": None,  # exact only after compaction
+                    "watermark": wm,
+                }
+            partitions[pid] = ent
             touched += 1
             events_in += int(r["events_in"])
         schemas = [schema_from_str(r["schema"]) for r in stats_rows]
         if m.get("schema"):
             schemas.append(schema_from_str(m["schema"]))
+        # CAS: the manifest must still be at the epoch we read at entry —
+        # a competing committed writer would otherwise be silently undone
+        cur = self.manifest()
+        if cur["epoch"] != m["epoch"]:
+            raise ConcurrentWriterError(
+                f"manifest advanced from epoch {m['epoch']} to {cur['epoch']} during apply"
+            )
         m2 = dict(m)
         if schemas:
             m2["schema"] = schema_to_str(unify(schemas))
@@ -281,6 +457,7 @@ class LakeTable:
                 "epoch": epoch,
                 "segments": list(new_names),
                 "partitions_touched": touched,
+                "compactions": compactions,
                 "events_after_reduce": events_in,
                 "wall_sec": round(time.time() - t0, 3),
             }
@@ -293,7 +470,12 @@ class LakeTable:
         """Delete state files of epochs older than the newest
         ``keep_epochs`` that are not referenced by the manifest."""
         m = self.manifest()
-        referenced = {p["file"] for p in m["partitions"].values()}
+        referenced = set()
+        for ent in m["partitions"].values():
+            base, deltas = _part_files(ent)
+            if base:
+                referenced.add(base)
+            referenced.update(deltas)
         removed = []
         state_dir = os.path.join(self.path, "state")
         if not os.path.isdir(state_dir):
@@ -310,25 +492,74 @@ class LakeTable:
                 os.rmdir(d)
         return removed
 
+    def compact(self, drop_tombs: bool = False) -> int:
+        """Full compaction (Ray-parallel): every partition's base+deltas
+        fold into a fresh base file; optionally drop tombstones (safe
+        once upstream segments can no longer be replayed). Writes a new
+        epoch. Returns the number of tombstones dropped."""
+        with _WriterLock(self.path):
+            m = self.manifest()
+            epoch = m["epoch"] + 1
+            epoch_rel = f"state/e{epoch:06d}"
+            os.makedirs(os.path.join(self.path, epoch_rel), exist_ok=True)
+            descs = self._descriptors(m)
+            if not descs:
+                return 0
+            key, op_col = self.key, self.op_col
+            lake_path = self.path
+            fold = self._fold_partition_fn(m.get("schema"), include_tombstones=True)
+
+            def compact_one(batch: pa.Table) -> pa.Table:
+                rows = []
+                for i in range(batch.num_rows):
+                    one = batch.slice(i, 1)
+                    t = fold(one).sort_by(key)
+                    live_t = drop_tombstones(t, op_col)
+                    dropped = t.num_rows - live_t.num_rows
+                    if drop_tombs:
+                        t = live_t
+                    pid = int(one["pid"][0].as_py())
+                    rel = f"{epoch_rel}/part-{pid:05d}.parquet"
+                    _atomic_write_parquet(os.path.join(lake_path, rel), t)
+                    rows.append(
+                        {
+                            "pid": pid,
+                            "file": rel,
+                            "rows": t.num_rows,
+                            "live_rows": live_t.num_rows,
+                            "dropped": dropped if drop_tombs else 0,
+                        }
+                    )
+                return pa.Table.from_pylist(rows)
+
+            stats = (
+                ray.data.from_items(descs, override_num_blocks=len(descs))
+                .map_batches(compact_one, batch_format="pyarrow")
+                .take_all()
+            )
+            cur = self.manifest()
+            if cur["epoch"] != m["epoch"]:
+                raise ConcurrentWriterError("manifest advanced during compaction")
+            partitions = {k: dict(v) for k, v in m["partitions"].items()}
+            dropped_total = 0
+            for r in stats:
+                old = partitions.get(str(r["pid"]), {})
+                partitions[str(r["pid"])] = {
+                    "base": r["file"],
+                    "deltas": [],
+                    "rows": int(r["rows"]),
+                    "live_rows": int(r["live_rows"]),
+                    "watermark": int(old.get("watermark", -1)),
+                }
+                dropped_total += int(r["dropped"])
+            m2 = {**m, "epoch": epoch, "partitions": partitions}
+            m2["history"] = list(m.get("history", [])) + [
+                {"epoch": epoch, "compaction": True, "tombstones_dropped": dropped_total}
+            ]
+            _atomic_write_json(self.manifest_path, m2)
+            return dropped_total
+
     def compact_tombstones(self) -> int:
         """Drop tombstones from state files (safe once upstream segments
         can no longer be replayed). Writes a new epoch. Returns dropped count."""
-        m = self.manifest()
-        epoch = m["epoch"] + 1
-        epoch_rel = f"state/e{epoch:06d}"
-        os.makedirs(os.path.join(self.path, epoch_rel), exist_ok=True)
-        dropped = 0
-        partitions = {}
-        for pid, ent in m["partitions"].items():
-            t = pq.read_table(os.path.join(self.path, ent["file"]))
-            live = drop_tombstones(t, self.op_col)
-            dropped += t.num_rows - live.num_rows
-            rel = f"{epoch_rel}/part-{int(pid):05d}.parquet"
-            _atomic_write_parquet(os.path.join(self.path, rel), live)
-            partitions[pid] = {**ent, "file": rel, "rows": live.num_rows, "live_rows": live.num_rows}
-        m2 = {**m, "epoch": epoch, "partitions": partitions}
-        m2["history"] = list(m.get("history", [])) + [
-            {"epoch": epoch, "compaction": True, "tombstones_dropped": dropped}
-        ]
-        _atomic_write_json(self.manifest_path, m2)
-        return dropped
+        return self.compact(drop_tombs=True)

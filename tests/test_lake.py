@@ -251,10 +251,105 @@ def test_all_dead_letter_segment_still_commits(lake, tmp_path):
     assert tail_until_caught_up(lake, log_dir) == []
 
 
+def test_delta_epoch_bytes_proportional_to_events(tmp_path):
+    """The 100-TB property: an epoch's bytes written are proportional to
+    the events applied, NOT to the size of the converged state."""
+    lk = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lk.init()
+    base = base_table(5000, seed=11, min_len=32, max_len=64)
+    seeded_lake(lk, base)
+    state_root = os.path.join(lk.path, "state")
+    seed_bytes = sum(
+        os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(state_root) for f in fs
+    )
+    # a tiny epoch: update 10 of the 5000 keys
+    upd = pa.table(
+        {
+            "lsn": pa.array(range(10_000, 10_010), type=pa.int64()),
+            "op": ["update"] * 10,
+            "doc_id": [f"doc-{i:08d}" for i in range(10)],
+            "tokens": pa.array([[1, 2, 3]] * 10, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([3] * 10, type=pa.int32()),
+            "source": ["web"] * 10,
+        }
+    )
+    lk.apply(rd.from_arrow(upd), ["tiny-seg"])
+    epoch_dir = os.path.join(state_root, "e000002")
+    epoch_bytes = sum(
+        os.path.getsize(os.path.join(epoch_dir, f)) for f in os.listdir(epoch_dir)
+    )
+    assert epoch_bytes < seed_bytes * 0.05, (epoch_bytes, seed_bytes)
+    m = lk.manifest()
+    assert any(ent["deltas"] for ent in m["partitions"].values())
+    # merge-on-read returns the updated values
+    got = canon(collect(lk.read()))
+    assert got.num_rows == 5000
+    row = got.filter(pa.array([d == "doc-00000003" for d in got["doc_id"].to_pylist()]))
+    assert row["tokens"].to_pylist() == [[1, 2, 3]]
+
+
+def test_auto_compaction_threshold(tmp_path):
+    """Once a partition accumulates compact_deltas pending deltas, the
+    next epoch compacts it: deltas reset, read fan-in stays bounded."""
+    lk = LakeTable(str(tmp_path / "lake"), num_partitions=2, compact_deltas=2)
+    lk.init()
+    base = base_table(50, seed=13, min_len=4, max_len=8)
+    seeded_lake(lk, base)
+    for k in range(4):
+        ev = pa.table(
+            {
+                "lsn": pa.array([1000 + k], type=pa.int64()),
+                "op": ["update"],
+                "doc_id": ["doc-00000001"],
+                "tokens": pa.array([[k]], type=pa.list_(pa.int32())),
+                "n_tok": pa.array([1], type=pa.int32()),
+                "source": ["web"],
+            }
+        )
+        lk.apply(rd.from_arrow(ev), [f"s{k}"])
+    m = lk.manifest()
+    for ent in m["partitions"].values():
+        assert len(ent["deltas"]) < 2  # threshold enforced
+    assert any(h.get("compactions", 0) for h in m["history"])
+    got = collect(lk.read())
+    row = got.filter(pa.array([d == "doc-00000001" for d in got["doc_id"].to_pylist()]))
+    assert row["tokens"].to_pylist() == [[3]]  # last writer (lsn 1003)
+
+
+def test_concurrent_writer_lock(lake, tmp_path):
+    """A live writer's lock blocks a second apply; a dead writer's stale
+    lock is broken automatically."""
+    from raycdc.lake import WRITER_LOCK, ConcurrentWriterError
+
+    ev = pa.table(
+        {
+            "lsn": pa.array([1], type=pa.int64()),
+            "op": ["insert"],
+            "doc_id": ["k"],
+            "tokens": pa.array([[1]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1], type=pa.int32()),
+            "source": ["web"],
+        }
+    )
+    lock_path = os.path.join(lake.path, WRITER_LOCK)
+    with open(lock_path, "w") as f:
+        f.write(f"{os.getpid()} 0")  # a live pid (ours)
+    with pytest.raises(ConcurrentWriterError, match="locked by live writer"):
+        lake.apply(rd.from_arrow(ev), ["s1"])
+    # stale lock: nonexistent pid → broken automatically, apply proceeds
+    with open(lock_path, "w") as f:
+        f.write("999999999 0")
+    lake.apply(rd.from_arrow(ev), ["s1"])
+    assert collect(lake.read()).num_rows == 1
+    assert not os.path.exists(lock_path)
+
+
 def test_vacuum_removes_unreferenced_epochs(lake, tmp_path):
     base, log_dir, _ = make_log(tmp_path, seed=43, n_segments=3)
     seeded_lake(lake, base)
     tail_until_caught_up(lake, log_dir, max_segments_per_epoch=1, batch_size=256)
+    # delta epochs keep every file referenced; compaction supersedes them
+    lake.compact()
     state_root = os.path.join(lake.path, "state")
     before = sum(len(fs) for _, _, fs in os.walk(state_root))
     removed = lake.vacuum(keep_epochs=1)

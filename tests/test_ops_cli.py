@@ -73,9 +73,13 @@ def test_cli_lifecycle(tmp_path, capsys):
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]).get("noop") is True
 
     assert main(["tail", lake, log_dir, "--dead-letter", dead]) == 0
+    # after a delta-epoch tail, live_rows is not exact from metadata alone
     assert main(["status", lake]) == 0
     status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert status["epoch"] == 2 and status["live_rows"] > 0
+    assert status["epoch"] == 2 and status["state_rows"] > 0
+    assert main(["status", lake, "--exact"]) == 0
+    status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["live_rows"] > 0
 
     snap = str(tmp_path / "snap")
     assert main(["read", lake, "--out", snap]) == 0
