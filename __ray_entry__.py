@@ -557,7 +557,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the language/stopword patterns are generated from the SAME tables the
+    # Ray kernels compile, so both engines run byte-identical RE2 regexes
+    from raycdc.extras.text import WORD_PATTERN, lang_pattern
+
+    pats = {lang: lang_pattern(lang) for lang in ("en", "fr", "de", "es")}
+    lang_counts = ",\n".join(
+        f"len(regexp_extract_all(lower(text), '{pats[lang]}')) AS c_{lang}"
+        for lang in ("en", "fr", "de", "es")
+    )
+    lang_sql = f"""
+        WITH c AS (SELECT doc_id, {lang_counts} FROM documents)
+        SELECT doc_id,
+               CASE WHEN greatest(c_en, c_fr, c_de, c_es) < 1 THEN 'und'
+                    WHEN c_en >= c_fr AND c_en >= c_de AND c_en >= c_es THEN 'en'
+                    WHEN c_fr >= c_de AND c_fr >= c_es THEN 'fr'
+                    WHEN c_de >= c_es THEN 'de'
+                    ELSE 'es' END AS lang_pred,
+               greatest(c_en, c_fr, c_de, c_es) AS lang_hits
+        FROM c
+    """
+    quality_sql = f"""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(lower(text), '{pats["en"]}')) AS DOUBLE)
+                   / greatest(1.0, CAST(len(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS DOUBLE)) AS stop_ratio,
+                 CAST(length(text) AS DOUBLE)
+                   / greatest(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)) AS mean_word_len,
+                 CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+                   / greatest(1.0, CAST(length(text) AS DOUBLE)) AS punct_ratio
+          FROM documents)
+        SELECT doc_id, stop_ratio, mean_word_len, punct_ratio,
+               stop_ratio * 2.0
+                 + CASE WHEN mean_word_len > 2.5 AND mean_word_len < 10.0
+                        THEN 1.0 ELSE 0.0 END
+                 - punct_ratio * 5.0 AS quality
+        FROM f
+    """
     return {
+        "lang_id": lang_sql,
+        "text_quality": quality_sql,
         "cdc_lww_latest": """
             SELECT user_id, event_id AS lsn, event_type, round(value, 2) AS value
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

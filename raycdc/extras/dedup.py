@@ -65,8 +65,14 @@ def exact_dedup_rows(ds: ray.data.Dataset, text_col: str = "text", id_col: str =
 
 # ----------------------------------------------------------------- minhash
 class MinHasher:
-    """Per-batch shingle→MinHash signatures + banded keys. Stateful actor:
-    permutation coefficients generated once (seeded)."""
+    """Per-batch shingle→MinHash signatures + banded keys, fully
+    vectorized (Arrow tokenize → flat siphash → numpy rolling k-grams →
+    ``minimum.reduceat`` signatures → folded band keys). Stateful actor:
+    permutation coefficients generated once (seeded).
+
+    Emits ONLY ``(id, band, band_key)`` — signatures, never text, go
+    through the band shuffle; candidate texts are fetched in a separate
+    verification pass (see :func:`minhash_near_dup`)."""
 
     def __init__(
         self,
@@ -76,7 +82,6 @@ class MinHasher:
         num_perm: int = 64,
         bands: int = 16,
         seed: int = 42,
-        keep_text: bool = True,
     ):
         assert num_perm % bands == 0
         rng = np.random.default_rng(seed)
@@ -85,52 +90,29 @@ class MinHasher:
         self.text_col, self.id_col = text_col, id_col
         self.k = k_shingle
         self.num_perm, self.bands = num_perm, bands
-        self.rows_per_band = num_perm // bands
-        self.keep_text = keep_text
-        self.ws = re.compile(r"\s+")
-
-    def shingle_hashes(self, text: str) -> np.ndarray:
-        norm = self.ws.sub(" ", (text or "").lower().strip())
-        words = norm.split(" ")
-        if len(words) < self.k:
-            grams = [" ".join(words)]
-        else:
-            grams = [" ".join(words[i : i + self.k]) for i in range(len(words) - self.k + 1)]
-        out = np.fromiter(
-            (int(hashlib.md5(g.encode()).hexdigest()[:16], 16) for g in set(grams)),
-            dtype=np.uint64,
-        )
-        return out
-
-    def signature(self, text: str) -> np.ndarray:
-        h = self.shingle_hashes(text)
-        if len(h) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        # (num_perm, n_shingles) universal-hash then min-reduce; all numpy
-        v = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, texts = batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
-        out_id, out_band, out_key, out_text = [], [], [], []
-        for i, text in zip(ids, texts):
-            sig = self.signature(text)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                key = hashlib.md5(chunk.tobytes() + bytes([b])).hexdigest()[:16]
-                out_id.append(i)
-                out_band.append(b)
-                out_key.append(key)
-                if self.keep_text:
-                    out_text.append(text)
-        cols = {
-            self.id_col: pa.array(out_id),
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_key": pa.array(out_key),
-        }
-        if self.keep_text:
-            cols[self.text_col] = pa.array(out_text)
-        return pa.table(cols)
+        from raycdc.extras.texthash import (
+            band_fold,
+            gram_hashes,
+            minhash_signatures,
+            word_hash_flat,
+        )
+
+        n = batch.num_rows
+        fh, offs = word_hash_flat(batch[self.text_col])
+        grams, goffs = gram_hashes(fh, offs, self.k)
+        sig = minhash_signatures(grams, goffs, self.a, self.b)
+        keys = band_fold(sig, self.bands)  # (n, bands) uint64
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.bands))
+        ids = batch[self.id_col].combine_chunks().take(idx)
+        return pa.table(
+            {
+                self.id_col: ids,
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_key": pa.array(keys.reshape(-1).view(np.int64)),
+            }
+        )
 
 
 def jaccard(a: str, b: str, k: int = 5) -> float:
@@ -147,6 +129,113 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return len(ga & gb) / max(1, len(ga | gb))
 
 
+def candidate_pairs_from_bands(
+    banded: ray.data.Dataset,
+    id_col: str = "doc_id",
+    max_bucket: int = 512,
+    metrics_name: str | None = None,
+) -> ray.data.Dataset:
+    """(id_a, id_b) candidate pairs from a banded-signature dataset,
+    deduplicated across bands.
+
+    Skew guardrail: a degenerate bucket (boilerplate/empty docs sharing
+    a band key) would otherwise emit O(b²) pairs on one reducer —
+    buckets are capped at ``max_bucket`` members (deterministic: sorted,
+    first N kept) and the number of dropped members is counted into the
+    metrics actor when ``metrics_name`` is given."""
+
+    def pairs(g: pa.Table) -> pa.Table:
+        id_type = g.schema.field(id_col).type
+        empty = pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
+        if g.num_rows < 2:
+            return empty
+        ids = sorted(set(g[id_col].to_pylist()))
+        if len(ids) > max_bucket:
+            if metrics_name is not None:
+                from raycdc.metrics import Metrics
+
+                Metrics(metrics_name).incr("minhash_bucket_truncated", len(ids) - max_bucket)
+            ids = ids[:max_bucket]
+        if len(ids) < 2:
+            return empty
+        out_a, out_b = zip(*itertools.combinations(ids, 2))
+        return pa.table({"id_a": pa.array(out_a, id_type), "id_b": pa.array(out_b, id_type)})
+
+    cand = banded.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pyarrow")
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def verify_jaccard_pairs(
+    ds: ray.data.Dataset,
+    pair_table: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.0,
+) -> pa.Table:
+    """Exact word-k-gram Jaccard for an explicit candidate-pair table.
+
+    Shape: broadcast the candidate id set, one distributed pass over the
+    corpus computes each candidate doc's UNIQUE gram-hash set
+    (vectorized — texthash kernels), only those arrays return to the
+    driver, and pairs are scored with numpy set intersections.
+    Partitioning assumption (documented): candidates ≪ corpus — LSH
+    banding plus the bucket cap bounds them by construction."""
+    from raycdc.extras.texthash import gram_hashes, word_hash_flat
+
+    wanted = sorted(set(pair_table["id_a"].to_pylist()) | set(pair_table["id_b"].to_pylist()))
+    if not wanted:
+        return pair_table.append_column("jaccard", pa.array([], pa.float64()))
+    ref = ray.put(pa.array(wanted))
+
+    class GramSets:
+        def __init__(self):
+            self.want = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t[id_col], value_set=self.want)
+            t = t.filter(mask)
+            fh, offs = word_hash_flat(t[text_col])
+            grams, goffs = gram_hashes(fh, offs, k)
+            sets = [
+                np.unique(grams[goffs[i] : goffs[i + 1]]).view(np.int64)
+                for i in range(t.num_rows)
+            ]
+            return pa.table(
+                {id_col: t[id_col], "grams": pa.array([s.tolist() for s in sets],
+                                                      type=pa.list_(pa.int64()))}
+            )
+
+    got: dict = {}
+    fetched = ds.map_batches(GramSets, batch_format="pyarrow", concurrency=2)
+    for b in fetched.iter_batches(batch_size=None, batch_format="pyarrow"):
+        ids = b[id_col].to_pylist()
+        gl = b["grams"].combine_chunks()
+        goffs = np.asarray(gl.offsets).astype(np.int64)
+        flat = gl.flatten().to_numpy(zero_copy_only=False)
+        for i, d in enumerate(ids):
+            got[d] = flat[goffs[i] : goffs[i + 1]]
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(pair_table["id_a"].to_pylist(), pair_table["id_b"].to_pylist()):
+        ga, gb = got.get(a), got.get(b)
+        if ga is None or gb is None:
+            continue
+        if len(ga) == 0 and len(gb) == 0:
+            j = 1.0
+        else:
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            j = inter / max(1, len(ga) + len(gb) - inter)
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(j, 6))
+    id_type = pair_table.schema.field("id_a").type
+    return pa.table({"id_a": pa.array(out_a, id_type), "id_b": pa.array(out_b, id_type),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
 def minhash_near_dup(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -157,20 +246,20 @@ def minhash_near_dup(
     threshold: float = 0.8,
     concurrency: int = 4,
     batch_size: int = 2048,
+    max_bucket: int = 512,
+    metrics_name: str | None = None,
 ) -> ray.data.Dataset:
-    """Candidate generation by banded MinHash, verification by true
-    Jaccard inside each band bucket. Returns (id_a, id_b, jaccard) pairs
-    with id_a < id_b, deduplicated across bands.
+    """Candidate generation by banded MinHash, verification by exact
+    k-gram Jaccard. Returns (id_a, id_b, jaccard) pairs with
+    id_a < id_b, deduplicated across bands.
 
-    Partitioning assumption: a band bucket (docs agreeing on one band)
-    is small; the shuffle moves banded signature rows (+ text for
-    verification), grouped by (band, band_key)."""
+    Scale shape: the band shuffle moves ONLY (id, band, band_key) rows —
+    signature bytes, never the corpus (round-1 shipped text ×bands).
+    Verification is a second pass that fetches gram sets for candidate
+    ids only. Buckets are capped (``max_bucket``) against degenerate
+    band collisions."""
     mh = dict(
-        text_col=text_col,
-        id_col=id_col,
-        k_shingle=k_shingle,
-        num_perm=num_perm,
-        bands=bands,
+        text_col=text_col, id_col=id_col, k_shingle=k_shingle, num_perm=num_perm, bands=bands
     )
     banded = ds.map_batches(
         MinHasher,
@@ -179,65 +268,42 @@ def minhash_near_dup(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-
-    def pairs(g: pa.Table) -> pa.Table:
-        id_type = g.schema.field(id_col).type
-        if g.num_rows < 2:
-            return pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
-                             "jaccard": pa.array([], pa.float64())})
-        ids = g[id_col].to_pylist()
-        texts = g[text_col].to_pylist()
-        seen = {}
-        for i, t in zip(ids, texts):
-            seen[i] = t
-        out_a, out_b, out_j = [], [], []
-        for a, b in itertools.combinations(sorted(seen), 2):
-            j = jaccard(seen[a], seen[b], k=k_shingle)
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(round(j, 6))
-        return pa.table({"id_a": pa.array(out_a, id_type), "id_b": pa.array(out_b, id_type),
-                         "jaccard": pa.array(out_j, pa.float64())})
-
-    cand = banded.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pyarrow")
-    # dedupe pairs found in multiple bands
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    cand = candidate_pairs_from_bands(
+        banded, id_col=id_col, max_bucket=max_bucket, metrics_name=metrics_name
     )
+    batches = list(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
+    sch = ds.schema()  # ray.data.Schema: parallel .names / .types lists
+    id_type = sch.types[sch.names.index(id_col)]
+    pair_table = (
+        pa.concat_tables(batches, promote_options="permissive")
+        if batches
+        else pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
+    )
+    verified = verify_jaccard_pairs(
+        ds, pair_table, text_col=text_col, id_col=id_col, k=k_shingle, threshold=threshold
+    )
+    return ray.data.from_arrow(verified)
 
 
 # ----------------------------------------------------------------- simhash
 class SimHasher:
-    """64-bit SimHash over word hashes; also emits 4 16-bit band keys so
-    Hamming-≤3 near-dups can be found by exact band-match bucketing."""
+    """64-bit SimHash over word hashes (fully vectorized: Arrow word
+    split → flat siphash → per-bit vote sums via ``np.add.reduceat``);
+    also emits 4 16-bit band keys so Hamming-≤3 near-dups can be found
+    by exact band-match bucketing."""
+
+    WORD_SEP = r"[^a-z0-9_]+"  # RE2 separator ≈ \w+ tokens, lowercased
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
-        self.word = re.compile(r"\w+")
-
-    def simhash(self, text: str) -> np.uint64:
-        words = self.word.findall((text or "").lower())
-        if not words:
-            return np.uint64(0)
-        hs = np.fromiter(
-            (int(hashlib.md5(w.encode()).hexdigest()[:16], 16) for w in words),
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        v = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for j in np.nonzero(v > 0)[0]:
-            out |= np.uint64(1) << np.uint64(j)
-        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.simhash(t) for t in batch[self.text_col].to_pylist()]
-        arr = np.array(sigs, dtype=np.uint64)
+        from raycdc.extras.texthash import simhash_bits, word_hash_flat
+
+        fh, offs = word_hash_flat(batch[self.text_col], pattern=self.WORD_SEP)
+        arr = simhash_bits(fh, offs)
         t = pa.table({self.id_col: batch[self.id_col]})
-        t = t.append_column("simhash", pa.array(arr.astype(np.int64), type=pa.int64()))
+        t = t.append_column("simhash", pa.array(arr.view(np.int64), type=pa.int64()))
         for b in range(4):
             band = ((arr >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int32)
             t = t.append_column(f"sh_band{b}", pa.array(band))
@@ -256,16 +322,14 @@ def simhash_signatures(ds: ray.data.Dataset, text_col: str = "text", id_col: str
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = a.astype(np.uint64) ^ b.astype(np.uint64)
-    cnt = np.zeros(len(x), dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    return cnt
+    from raycdc.extras.texthash import hamming64 as _h
+
+    return _h(a, b)
 
 
 def simhash_near_dup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
-                     max_hamming: int = 3) -> ray.data.Dataset:
+                     max_hamming: int = 3, max_bucket: int = 4096,
+                     metrics_name: str | None = None) -> ray.data.Dataset:
     """Near-dups by SimHash: 4-band bucketing (pigeonhole: any pair with
     Hamming ≤ 3 agrees on ≥ 1 of 4 bands) then exact Hamming verify.
 
@@ -299,16 +363,22 @@ def simhash_near_dup(ds: ray.data.Dataset, text_col: str = "text", id_col: str =
         sh = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.argsort(ids, kind="stable")
         ids, sh = ids[order], sh[order]
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            if i + 1 < len(ids):
-                hs = hamming64(np.repeat(sh[i], len(ids) - i - 1), sh[i + 1 :])
-                for off in np.nonzero(hs <= max_hamming)[0]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + off])
-                    out_h.append(int(hs[off]))
-        return pa.table({"id_a": pa.array(out_a, id_type), "id_b": pa.array(out_b, id_type),
-                         "hamming": pa.array(out_h, pa.int64())})
+        if len(ids) > max_bucket:  # degenerate-bucket guardrail (O(b²) cap)
+            if metrics_name is not None:
+                from raycdc.metrics import Metrics
+
+                Metrics(metrics_name).incr("simhash_bucket_truncated", len(ids) - max_bucket)
+            ids, sh = ids[:max_bucket], sh[:max_bucket]
+        n = len(ids)
+        if n < 2:
+            return pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+                             "hamming": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(n, k=1)
+        hs = hamming64(sh[ia], sh[ib])
+        keep = hs <= max_hamming
+        return pa.table({"id_a": pa.array(ids[ia[keep]].tolist(), id_type),
+                         "id_b": pa.array(ids[ib[keep]].tolist(), id_type),
+                         "hamming": pa.array(hs[keep], pa.int64())})
 
     cand = exploded.groupby(["band_id", "band_val"]).map_groups(pairs, batch_format="pyarrow")
     return cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
@@ -322,6 +392,7 @@ def embedding_near_dup(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    max_bucket: int = 8192,
 ) -> ray.data.Dataset:
     """Cosine near-dup via random-hyperplane LSH bucketing + in-bucket
     verification. Pairs missed by bucketing are the LSH recall tradeoff
@@ -329,16 +400,27 @@ def embedding_near_dup(
     if n_planes > 30:
         raise ValueError("n_planes must be <= 30 (bucket is an int32 bitmask)")
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        emb = t[emb_col].combine_chunks()
-        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
-        if n_planes:
-            planes = np.random.default_rng(seed).standard_normal((mat.shape[1], n_planes))
-            sig = (mat @ planes > 0).astype(np.int64)
-            bucket = (sig @ (1 << np.arange(n_planes, dtype=np.int64))).astype(np.int32)
-        else:
-            bucket = np.zeros(len(emb), dtype=np.int32)
-        return t.append_column("_bucket", pa.array(bucket))
+    class Bucketize:
+        """Actor stage: the hyperplane matrix is drawn ONCE per actor in
+        __init__ (seeded — identical planes on every actor), not per
+        batch (the setup-in-__call__ anti-pattern)."""
+
+        def __init__(self):
+            self.planes = None  # lazily sized from the first batch's dim
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = t[emb_col].combine_chunks()
+            mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
+            if n_planes:
+                if self.planes is None or self.planes.shape[0] != mat.shape[1]:
+                    self.planes = np.random.default_rng(seed).standard_normal(
+                        (mat.shape[1], n_planes)
+                    )
+                sig = (mat @ self.planes > 0).astype(np.int64)
+                bucket = (sig @ (1 << np.arange(n_planes, dtype=np.int64))).astype(np.int32)
+            else:
+                bucket = np.zeros(len(emb), dtype=np.int32)
+            return t.append_column("_bucket", pa.array(bucket))
 
     def pairs(g: pa.Table) -> pa.Table:
         id_type = g.schema.field(id_col).type
@@ -347,6 +429,8 @@ def embedding_near_dup(
         ids = np.asarray(g[id_col].to_pylist(), dtype=object)
         order = np.argsort(ids, kind="stable")
         ids, mat = ids[order], mat[order]
+        if len(ids) > max_bucket:  # degenerate-bucket guardrail
+            ids, mat = ids[:max_bucket], mat[:max_bucket]
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1
         mat = mat / norms[:, None]
@@ -362,7 +446,7 @@ def embedding_near_dup(
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pyarrow")
+        ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
         .groupby("_bucket")
         .map_groups(pairs, batch_format="pyarrow")
     )
@@ -376,26 +460,9 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
 ) -> pa.Table:
-    """Exact n-gram Jaccard for an explicit candidate-pair list: the
-    texts of pair members are fetched via a broadcast-filtered pass (one
-    scan), then scored driver-side (candidate sets are small by
-    construction)."""
-    wanted = sorted({i for p in pairs for i in p})
-
-    def pick(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t[id_col], value_set=pa.array(wanted))
-        return t.filter(mask).select([id_col, text_col])
-
-    got = {}
-    for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
-        batch_size=None, batch_format="pyarrow"
-    ):
-        for r in b.to_pylist():
-            got[r[id_col]] = r[text_col]
-    out_a, out_b, out_j = [], [], []
-    for a, b in pairs:
-        out_a.append(a)
-        out_b.append(b)
-        out_j.append(round(jaccard(got.get(a, ""), got.get(b, ""), k=k), 6))
-    return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b),
-                     "jaccard": pa.array(out_j, pa.float64())})
+    """Exact n-gram Jaccard for an explicit candidate-pair list —
+    delegates to :func:`verify_jaccard_pairs` (gram-hash sets fetched in
+    one distributed pass; candidate sets small by construction)."""
+    pt = pa.table({"id_a": pa.array([a for a, _ in pairs]),
+                   "id_b": pa.array([b for _, b in pairs])})
+    return verify_jaccard_pairs(ds, pt, text_col=text_col, id_col=id_col, k=k, threshold=0.0)

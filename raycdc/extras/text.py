@@ -1,10 +1,13 @@
 """Text analysis stages over a documents table: language-ID, quality
 scoring, token counting, fingerprinting.
 
-All stages are callable classes (actor pools — regexes/tables compiled
-once per actor in ``__init__``) or pure vectorized batch fns; hot loops
-use pyarrow.compute kernels where available and C-speed hashlib loops
-otherwise.
+All hot kernels are vectorized: language/stopword hits are
+``pc.count_substring_regex`` over a ``\\b(...)\\b`` alternation (one RE2
+scan per language per batch, the same regex the DuckDB oracle runs),
+ratios/scores are Arrow compute arithmetic, and the rolling fingerprint
+is the numpy polynomial hash from ``texthash`` — no per-row Python in
+any hot loop. Stages that hold compiled state are callable classes
+(actor pools — built once per actor in ``__init__``).
 """
 
 from __future__ import annotations
@@ -18,8 +21,10 @@ import pyarrow.compute as pc
 
 import ray.data
 
-# small built-in stopword profiles for the n-gram/stopword language
-# heuristic (public common-word lists, truncated)
+# small built-in stopword profiles for the stopword-alternation language
+# heuristic (public common-word lists, truncated). Language ORDER is the
+# deterministic tie-break (first language with the max hit count wins).
+_LANG_ORDER = ("en", "fr", "de", "es")
 _LANG_STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on", "with", "as", "was", "at"},
     "fr": {"le", "la", "de", "et", "un", "une", "les", "des", "est", "que", "pour", "dans", "sur", "pas"},
@@ -27,57 +32,66 @@ _LANG_STOPWORDS = {
     "es": {"el", "la", "de", "y", "que", "en", "un", "una", "es", "los", "las", "por", "con", "para"},
 }
 
+# ASCII word tokens on lowercased text (RE2 — identical semantics in
+# Arrow and DuckDB, which both embed RE2)
+WORD_PATTERN = r"[a-z0-9_]+"
+
+
+def lang_pattern(lang: str) -> str:
+    """The per-language stopword alternation regex — sorted so the Ray
+    kernel and the SQL oracle run the byte-identical pattern."""
+    return r"\b(" + "|".join(sorted(_LANG_STOPWORDS[lang])) + r")\b"
+
 
 class LangId:
-    """Stopword-hit language heuristic (actor stage; tables built once).
-    Emits ``lang_pred`` and ``lang_hits``; 'und' when nothing matches."""
+    """Stopword-hit language heuristic, one vectorized RE2 count per
+    language per batch (actor stage; patterns built once). Emits
+    ``lang_pred`` and ``lang_hits``; 'und' when the best language has
+    fewer than ``min_hits`` hits."""
 
     def __init__(self, text_col: str = "text", min_hits: int = 1):
         self.text_col = text_col
         self.min_hits = min_hits
-        self.word = re.compile(r"[a-zà-ÿ]+")
-        self.tables = {lang: frozenset(ws) for lang, ws in _LANG_STOPWORDS.items()}
+        self.patterns = [(lang, lang_pattern(lang)) for lang in _LANG_ORDER]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, hits = [], []
-        for text in batch[self.text_col].to_pylist():
-            words = self.word.findall(text.lower()) if text else []
-            best, best_n = "und", 0
-            for lang, table in self.tables.items():
-                n = sum(1 for w in words if w in table)
-                if n > best_n:
-                    best, best_n = lang, n
-            if best_n < self.min_hits:
-                best = "und"
-            preds.append(best)
-            hits.append(best_n)
-        return batch.append_column("lang_pred", pa.array(preds)).append_column(
-            "lang_hits", pa.array(hits, type=pa.int32())
+        lower = pc.utf8_lower(batch[self.text_col])
+        counts = np.stack(
+            [
+                np.asarray(pc.count_substring_regex(lower, pattern=p).cast(pa.int64()))
+                for _, p in self.patterns
+            ]
+        )  # (n_langs, n_rows)
+        best_i = np.argmax(counts, axis=0)  # first max wins (tie-break = order)
+        best_n = counts[best_i, np.arange(counts.shape[1])]
+        langs = np.array([lang for lang, _ in self.patterns], dtype=object)
+        preds = np.where(best_n >= self.min_hits, langs[best_i], "und")
+        return batch.append_column("lang_pred", pa.array(preds, type=pa.string())).append_column(
+            "lang_hits", pa.array(best_n, type=pa.int64())
         )
 
 
 class QualityScore:
     """Heuristic quality scoring (length / punctuation / stopword
-    ratios — the usual pretraining-filter features), vectorized where
-    the kernel exists."""
+    ratios — the usual pretraining-filter features), fully vectorized.
+    The arithmetic mirrors the SQL oracle expression term-for-term so
+    the doubles match bit-exactly."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word = re.compile(r"\w+")
-        self.stop = _LANG_STOPWORDS["en"]
+        self.stop_pattern = lang_pattern("en")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         txt = batch[self.text_col]
+        lower = pc.utf8_lower(txt)
         n_chars = pc.utf8_length(txt).cast(pa.float64())
-        n_words = pc.count_substring_regex(txt, pattern=r"\S+").cast(pa.float64())
+        n_ws = pc.count_substring_regex(txt, pattern=r"\S+").cast(pa.float64())
         n_punct = pc.count_substring_regex(txt, pattern=r"[.!?,;:]").cast(pa.float64())
-        stop_ratio = []
-        for text in txt.to_pylist():
-            ws = self.word.findall(text.lower()) if text else []
-            stop_ratio.append(sum(1 for w in ws if w in self.stop) / max(1, len(ws)))
-        mean_wl = pc.divide(n_chars, pc.max_element_wise(n_words, pa.scalar(1.0)))
+        n_words = pc.count_substring_regex(lower, pattern=WORD_PATTERN).cast(pa.float64())
+        n_stop = pc.count_substring_regex(lower, pattern=self.stop_pattern).cast(pa.float64())
+        sr = pc.divide(n_stop, pc.max_element_wise(n_words, pa.scalar(1.0)))
+        mean_wl = pc.divide(n_chars, pc.max_element_wise(n_ws, pa.scalar(1.0)))
         punct_ratio = pc.divide(n_punct, pc.max_element_wise(n_chars, pa.scalar(1.0)))
-        sr = pa.array(stop_ratio, type=pa.float64())
         # score: in-range word length, some stopwords, low punctuation
         score = pc.subtract(
             pc.add(
@@ -112,18 +126,20 @@ _WS = re.compile(r"\s+")
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Content fingerprint: md5 of whitespace-normalized lowercase text
-    plus a 64-bit rolling-hash (Karp-Rabin over word stream)."""
-    fps, rolls = [], []
-    for text in batch[text_col].to_pylist():
-        norm = _WS.sub(" ", (text or "").lower().strip())
-        fps.append(hashlib.md5(norm.encode()).hexdigest())
-        h = np.uint64(1469598103934665603)
-        for w in norm.split(" "):
-            wh = np.uint64(int(hashlib.md5(w.encode()).hexdigest()[:16], 16))
-            h = np.uint64((int(h) * 1099511628211 + int(wh)) % (1 << 64))
-        rolls.append(np.int64(np.uint64(h).astype(np.int64)))
+    (one C-speed digest per document — the oracle-matched column) plus a
+    64-bit Karp-Rabin rolling hash over the word-hash stream (numpy
+    polynomial — no per-word Python)."""
+    from raycdc.extras.texthash import polynomial_fingerprint, word_hash_flat
+
+    norm = pc.replace_substring_regex(
+        pc.utf8_lower(batch[text_col]), pattern=r"\s+", replacement=" "
+    )
+    norm = pc.utf8_trim_whitespace(norm)
+    fps = [hashlib.md5(x.encode()).hexdigest() for x in norm.to_pylist()]
+    fh, offs = word_hash_flat(batch[text_col])
+    rolls = polynomial_fingerprint(fh, offs)
     return batch.append_column("fp", pa.array(fps)).append_column(
-        "rolling_fp", pa.array(rolls, type=pa.int64())
+        "rolling_fp", pa.array(rolls.view(np.int64), type=pa.int64())
     )
 
 
