@@ -355,6 +355,25 @@ def q_derive_path(sf_dir: str):
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_flatten_struct(sf_dir: str):
+    """Extract-all-fields projection (ExtractDICOMTags mode (a), M3):
+    build a struct column, then flatten every field to a top-level
+    stringified column with the reference's 200-char cap
+    (``ExtractDICOMTags.java:163-180``)."""
+    from raycdc.ops import flatten_struct
+
+    def pack(t: pa.Table) -> pa.Table:
+        meta = pa.StructArray.from_arrays(
+            [t["lang"].combine_chunks(), t["source"].combine_chunks(),
+             t["n_chars"].combine_chunks()],
+            names=["lang", "source", "n_chars"],
+        )
+        return pa.table({"doc_id": t["doc_id"], "meta": meta})
+
+    packed = _docs(sf_dir).map_batches(pack, batch_format="pyarrow")
+    return flatten_struct(packed, "meta", prefix="meta_", stringify=True, max_len=200)
+
+
 def q_identity_substitute(sf_dir: str):
     """Identity side-table substitution with generate-if-unmatched
     (T3/T4/J1): matched users take the nation side table's name,
@@ -489,6 +508,22 @@ def q_knn_ivf(sf_dir: str):
     return idx.search(idx.assign(ds), qv, k=10, nprobe=4)
 
 
+def q_knn_ivf_full_probe(sf_dir: str):
+    """IVF with nprobe == n_clusters: the pruned scan degenerates to
+    exhaustive, so the whole IVF machinery (distributed k-means fit →
+    assignment stage → probe-filtered knn) is EXACT and sits under the
+    same DuckDB oracle as brute force."""
+    from raycdc.extras.similarity import IVFIndex
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path)
+    qv = np.asarray(qt.filter(pc.equal(qt["vec_id"], 0))["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = rd.read_parquet(emb_path)
+    idx = IVFIndex(n_clusters=8, n_iter=5).fit(ds)
+    out = idx.search(idx.assign(ds), qv, k=10, nprobe=8)
+    return out.map_batches(lambda t: t.select(["vec_id", "sim"]), batch_format="pyarrow")
+
+
 def q_pipeline_metrics(sf_dir: str):
     """Metrics/provenance counters (LogCacheStatistics analog, S4/A1):
     run a counted pipeline and return the accumulated counters as rows."""
@@ -542,7 +577,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q_text_fingerprint,
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "derive_path": q_derive_path,
+        "flatten_struct": q_flatten_struct,
         "identity_substitute": q_identity_substitute,
         "roundtrip_diffmerge": q_roundtrip_diffmerge,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -675,11 +712,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, e.vec_id
             LIMIT 10
         """,
+        "knn_ivf_full_probe": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+            FROM embeddings e, q
+            ORDER BY sim DESC, e.vec_id
+            LIMIT 10
+        """,
         "derive_path": """
             SELECT doc_id,
                    regexp_replace(source, '[^a-zA-Z0-9.^]', '_', 'g') || '/' ||
                    regexp_replace(lang, '[^a-zA-Z0-9.^]', '_', 'g') || '/' ||
                    CAST(doc_id AS VARCHAR) || '.txt' AS path
+            FROM documents
+        """,
+        "flatten_struct": """
+            SELECT doc_id,
+                   substr(CAST(lang AS VARCHAR), 1, 200) AS meta_lang,
+                   substr(CAST(source AS VARCHAR), 1, 200) AS meta_source,
+                   substr(CAST(n_chars AS VARCHAR), 1, 200) AS meta_n_chars
             FROM documents
         """,
         "identity_substitute": """

@@ -95,24 +95,67 @@ class IVFIndex:
         self.emb_col, self.id_col = emb_col, id_col
         self.centroids: np.ndarray | None = None
 
-    def fit(self, ds: ray.data.Dataset, sample_fraction: float = 1.0) -> "IVFIndex":
-        sample = ds if sample_fraction >= 1.0 else ds.random_sample(sample_fraction, seed=self.seed)
-        mats = [
-            _normalize(_to_matrix(b[self.emb_col]))
-            for b in sample.iter_batches(batch_size=None, batch_format="pyarrow")
-        ]
-        x = np.vstack(mats)
+    def fit(
+        self,
+        ds: ray.data.Dataset,
+        sample_fraction: float = 0.25,
+        max_sample: int = 65536,
+    ) -> "IVFIndex":
+        """k-means fit WITHOUT driver materialization of the corpus: a
+        bounded sample (``random_sample`` + ``limit(max_sample)``) is
+        materialized in the object store once, then each Lloyd iteration
+        is a ``map_batches`` pass emitting per-cluster partial sums
+        (k × d floats per batch) that the driver combines — fit memory is
+        O(max_sample) distributed + O(k × d) on the driver."""
+        sample = (
+            ds.random_sample(sample_fraction, seed=self.seed) if sample_fraction < 1.0 else ds
+        )
+        sample = sample.limit(max_sample).materialize()
+        emb_col = self.emb_col
+        # deterministic init from the first sample batch
+        first = next(iter(sample.iter_batches(batch_size=4096, batch_format="pyarrow")))
+        x0 = _normalize(_to_matrix(first[emb_col]))
         rng = np.random.default_rng(self.seed)
-        c = x[rng.choice(len(x), size=min(self.n_clusters, len(x)), replace=False)]
+        k = min(self.n_clusters, len(x0))
+        c = x0[rng.choice(len(x0), size=k, replace=False)].copy()
         for _ in range(self.n_iter):
-            assign = np.argmax(x @ c.T, axis=1)
-            for j in range(len(c)):
-                pts = x[assign == j]
-                if len(pts):
-                    v = pts.mean(axis=0)
-                    n = np.linalg.norm(v)
-                    if n > 0:
-                        c[j] = v / n
+            ref = ray.put(c)
+
+            class Partial:
+                def __init__(self):
+                    self.c = ray.get(ref)
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    x = _normalize(_to_matrix(t[emb_col]))
+                    assign = np.argmax(x @ self.c.T, axis=1)
+                    S = np.zeros_like(self.c)
+                    np.add.at(S, assign, x)
+                    cnt = np.bincount(assign, minlength=len(self.c))
+                    return pa.table(
+                        {
+                            "cluster": pa.array(np.arange(len(self.c), dtype=np.int32)),
+                            "vec_sum": pa.array(S.tolist(), type=pa.list_(pa.float64())),
+                            "n": pa.array(cnt, type=pa.int64()),
+                        }
+                    )
+
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            for b in (
+                sample.map_batches(Partial, batch_format="pyarrow", batch_size=4096,
+                                   concurrency=2)
+                .iter_batches(batch_size=None, batch_format="pyarrow")
+            ):
+                cl = np.asarray(b["cluster"])
+                vs = _to_matrix(b["vec_sum"])
+                sums[cl] += vs
+                counts[cl] += np.asarray(b["n"])
+            nz = counts > 0
+            means = sums[nz] / counts[nz][:, None]
+            norms = np.linalg.norm(means, axis=1)
+            good = norms > 0
+            idx = np.nonzero(nz)[0][good]
+            c[idx] = means[good] / norms[good][:, None]
         self.centroids = c
         return self
 

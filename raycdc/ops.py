@@ -126,6 +126,45 @@ def broadcast_lookup(
     return ds.map_batches(Lookup, batch_format="pyarrow", batch_size=batch_size, concurrency=2)
 
 
+def flatten_struct(
+    ds: ray.data.Dataset,
+    col: str,
+    prefix: str = "",
+    keep: bool = False,
+    stringify: bool = False,
+    max_len: int | None = None,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Promote every field of a struct column to a top-level column —
+    the ExtractDICOMTags "extract ALL tags" mode (a): the reference's
+    visitor stringifies every attribute into the FlowFile map, capped at
+    200 chars (``ExtractDICOMTags.java:163-180``). ``stringify=True`` +
+    ``max_len=200`` reproduces that contract; by default fields keep
+    their native types. Fields of null struct rows surface as nulls."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if col not in t.column_names:
+            return t  # present-only no-op (schema tolerance)
+        sc = t.column(col).combine_chunks()
+        if not pa.types.is_struct(sc.type):
+            return t
+        null_mask = pc.is_null(sc) if sc.null_count else None
+        for field in sc.type:
+            arr = sc.field(field.name)
+            if null_mask is not None:
+                arr = pc.if_else(null_mask, pa.nulls(len(sc), type=arr.type), arr)
+            if stringify:
+                arr = arr.cast(pa.string())
+                if max_len is not None:
+                    arr = pc.utf8_slice_codeunits(arr, start=0, stop=max_len)
+            t = t.append_column(f"{prefix}{field.name}", arr)
+        if not keep:
+            t = t.drop_columns([col])
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
 def grouped_min_broadcast(
     ds: ray.data.Dataset, key: str, col: str, batch_size: int = 65536,
     max_keys: int = 5_000_000,

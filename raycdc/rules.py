@@ -245,24 +245,71 @@ def _as_chunked(arr):
 
 
 def _apply_struct_rule(t: pa.Table, r: Rule, rs: RuleSet) -> pa.Table:
-    """Apply a rule addressed as ``parent.child`` inside a struct column —
-    the recursion-into-sequences analog (``ClinicalTrialsAttributes.java:2818-2842``).
-    Flatten the struct, apply the scalar rule to the child, rebuild."""
-    parent, child = r.column.split(".", 1)
+    """Apply a rule addressed as a dotted path (``a.b``, ``a.b.c``, …)
+    inside nested struct / list-of-struct columns — the
+    recursion-into-sequences analog: the reference applies its rule
+    table recursively into SequenceAttribute items, each of which is an
+    AttributeList that may itself contain further sequences
+    (``ClinicalTrialsAttributes.java:2818-2842``).
+
+    ``list<struct>`` levels are traversed by flattening the value array
+    (offsets/validity preserved on rebuild, null rows compacted to
+    zero-length spans so parquet accepts the result); struct levels
+    recurse field-wise. A path whose head is absent is a present-only
+    no-op, like every rule."""
+    parts = r.column.split(".")
+    parent = parts[0]
     if parent not in t.column_names:
         return t
-    sc = t.column(parent).combine_chunks()
-    if not pa.types.is_struct(sc.type):
+    arr = t.column(parent).combine_chunks()
+    rebuilt = _apply_nested(arr, parts[1:], r, rs)
+    if rebuilt is None:
         return t
-    names = [f.name for f in sc.type]
-    if child not in names and r.action != "derive":
-        return t
-    sub = pa.table({n: sc.field(n) for n in names})
-    sub = rs._apply_one(sub, Rule(column=child, action=r.action, value=r.value, fn=r.fn))
-    null_mask = pc.is_null(sc) if sc.null_count else None
-    rebuilt = pa.StructArray.from_arrays(
-        [sub.column(n).combine_chunks() for n in sub.column_names],
-        names=sub.column_names,
-        mask=null_mask,  # preserve null struct rows (from_arrays drops validity)
-    )
     return t.set_column(t.column_names.index(parent), parent, rebuilt)
+
+
+def _apply_nested(arr: pa.Array, path: list[str], r: Rule, rs: RuleSet) -> pa.Array | None:
+    """Recurse a dotted path into ``arr``; returns the rebuilt array or
+    None when the rule is a no-op (absent field / unsupported type)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        lens = pc.list_value_length(arr).fill_null(0).to_numpy(zero_copy_only=False)
+        vals = arr.flatten()  # compacted: null rows contribute no values
+        new_vals = _apply_nested(vals, path, r, rs)
+        if new_vals is None:
+            return None
+        offsets = np.zeros(len(arr) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        mask = pa.array(
+            pc.is_null(arr).to_numpy(zero_copy_only=False)
+        ) if arr.null_count else None
+        large = pa.types.is_large_list(arr.type)
+        off_arr = pa.array(offsets, type=pa.int64() if large else pa.int32())
+        cls = pa.LargeListArray if large else pa.ListArray
+        return cls.from_arrays(off_arr, new_vals, mask=mask)
+    if pa.types.is_struct(arr.type):
+        names = [f.name for f in arr.type]
+        head = path[0]
+        mask = pc.is_null(arr) if arr.null_count else None
+        if len(path) == 1:
+            if head not in names and r.action != "derive":
+                return None
+            sub = pa.table({n: arr.field(n) for n in names})
+            sub = rs._apply_one(sub, Rule(column=head, action=r.action, value=r.value, fn=r.fn))
+            return pa.StructArray.from_arrays(
+                [sub.column(n).combine_chunks() for n in sub.column_names],
+                names=sub.column_names,
+                mask=mask,  # preserve null struct rows (from_arrays drops validity)
+            )
+        if head not in names:
+            return None
+        new_child = _apply_nested(arr.field(head), path[1:], r, rs)
+        if new_child is None:
+            return None
+        return pa.StructArray.from_arrays(
+            [new_child if n == head else arr.field(n) for n in names],
+            names=names,
+            mask=mask,
+        )
+    return None  # scalar mid-path → no-op (schema tolerance)

@@ -100,3 +100,22 @@ def test_cli_errors(tmp_path, capsys):
     bad = tmp_path / "bad.json"
     bad.write_text('{"rules": [{"column": "x", "action": "bogus"}]}')
     assert main(["tail", lake, str(tmp_path), "--rules", str(bad)]) == 2
+
+
+def test_flatten_struct():
+    from raycdc.ops import flatten_struct
+
+    meta = pa.array(
+        [{"a": "x", "b": 1}, None, {"a": "y" * 300, "b": 3}],
+        type=pa.struct([("a", pa.string()), ("b", pa.int64())]),
+    )
+    t = pa.table({"id": [1, 2, 3], "meta": meta})
+    out = {r["id"]: r for r in flatten_struct(
+        rd.from_arrow(t), "meta", prefix="m_").take_all()}
+    assert out[1]["m_a"] == "x" and out[1]["m_b"] == 1
+    assert out[2]["m_a"] is None and out[2]["m_b"] is None  # null struct row
+    assert "meta" not in out[1]
+    # stringify mode with the reference's 200-char cap
+    out2 = {r["id"]: r for r in flatten_struct(
+        rd.from_arrow(t), "meta", prefix="m_", stringify=True, max_len=200).take_all()}
+    assert out2[3]["m_b"] == "3" and len(out2[3]["m_a"]) == 200

@@ -187,3 +187,87 @@ def test_prefix_token_preserves_null_lists():
     import io
 
     pq.write_table(out, io.BytesIO())
+
+
+def test_rules_recurse_into_list_of_struct():
+    """A sequence item contains an attribute list which may contain
+    further sequences (ClinicalTrialsAttributes.java:2818-2842): rules
+    must reach fields inside list<struct> columns."""
+    seq_type = pa.list_(pa.struct([("name", pa.string()), ("secret", pa.int64())]))
+    t = pa.table(
+        {
+            "doc_id": ["d1", "d2", "d3"],
+            "seq": pa.array(
+                [
+                    [{"name": "a", "secret": 1}, {"name": "b", "secret": 2}],
+                    None,  # null sequence row survives untouched
+                    [{"name": "c", "secret": 3}],
+                ],
+                type=seq_type,
+            ),
+        }
+    )
+    rs = RuleSet.from_config(
+        {"rules": [{"column": "seq.secret", "action": "null"},
+                   {"column": "seq.name", "action": "replace", "value": "X"}]}
+    )
+    out = rs(t)
+    vals = out["seq"].to_pylist()
+    assert vals[1] is None
+    assert all(item["secret"] is None and item["name"] == "X"
+               for row in (vals[0], vals[2]) for item in row)
+    # parquet round-trip accepts the rebuilt offsets (null rows zero-span)
+    import io
+
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(out, buf)
+
+
+def test_rules_recurse_depth_two_and_remove_field():
+    meta_type = pa.struct(
+        [("info", pa.struct([("owner", pa.string()), ("keep", pa.int64())])),
+         ("other", pa.string())]
+    )
+    t = pa.table(
+        {
+            "doc_id": ["d1", "d2"],
+            "meta": pa.array(
+                [{"info": {"owner": "alice", "keep": 1}, "other": "x"},
+                 {"info": {"owner": "bob", "keep": 2}, "other": "y"}],
+                type=meta_type,
+            ),
+        }
+    )
+    rs = RuleSet.from_config(
+        {"rules": [{"column": "meta.info.owner", "action": "replace", "value": "anon"},
+                   {"column": "meta.info.keep", "action": "remove"},
+                   {"column": "meta.absent.deeper", "action": "null"}]}  # no-op
+    )
+    out = rs(t)
+    vals = out["meta"].to_pylist()
+    assert [v["info"]["owner"] for v in vals] == ["anon", "anon"]
+    assert all("keep" not in v["info"] for v in vals)
+    assert [v["other"] for v in vals] == ["x", "y"]
+
+
+def test_rules_recurse_list_of_struct_containing_list():
+    """Depth: list<struct< tags: list<struct<k,v>> >> — two list levels."""
+    inner = pa.list_(pa.struct([("k", pa.string()), ("v", pa.int64())]))
+    outer = pa.list_(pa.struct([("id", pa.int64()), ("tags", inner)]))
+    t = pa.table(
+        {
+            "doc_id": ["d1"],
+            "seq": pa.array(
+                [[{"id": 1, "tags": [{"k": "a", "v": 10}, {"k": "b", "v": 20}]},
+                  {"id": 2, "tags": None}]],
+                type=outer,
+            ),
+        }
+    )
+    rs = RuleSet.from_config({"rules": [{"column": "seq.tags.v", "action": "null"}]})
+    out = rs(t)
+    row = out["seq"].to_pylist()[0]
+    assert all(tag["v"] is None for tag in row[0]["tags"])
+    assert row[1]["tags"] is None
