@@ -544,14 +544,17 @@ def q_pipeline_metrics(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
-    """Multimodal plumbing: deterministic fake media + actor-pool decode
-    (real decoder stubbed — no image libs in container)."""
+    """Multimodal pipeline on REAL bytes: deterministic PPM images
+    synthesized per row, decoded through the codec registry by the
+    actor pool (real=True), pixel-statistic features out. Codecs needing
+    external libraries remain registry plug points."""
     from raycdc.extras.multimodal import attach_fake_media, decode_features
 
     docs = _docs(sf_dir).map_batches(
         lambda t: t.append_column("did", pc.cast(t["doc_id"], pa.string())), batch_format="pyarrow"
     )
-    return decode_features(attach_fake_media(docs, id_col="did"), concurrency=2, batch_size=128)
+    media = attach_fake_media(docs, id_col="did", codec="ppm")
+    return decode_features(media, concurrency=2, batch_size=128, real=True)
 
 
 # ---------------------------------------------------------------- registry

@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this container): ``DecodeImage(real=True)`` raises NotImplementedError
-at the exact point a real decoder (PIL/libvips/ffmpeg) would be called,
-while ``real=False`` produces deterministic fake features so the entire
-Ray-side plumbing — schema, batch sizing, actor signatures, output
-layout — is real and tested end-to-end.
+Decoding goes through a **pluggable codec registry**
+(:data:`DECODERS` / :func:`register_decoder`): one real pure-Python
+codec ships in-container (binary PPM "P6" — encode + decode, numpy
+only) so the ``real=True`` path is exercised end-to-end on real bytes;
+codecs that need external libraries (jpeg/png → PIL/libvips, video →
+ffmpeg) raise NotImplementedError at the exact plug point. The
+``real=False`` path produces deterministic fake features so plumbing —
+schema, batch sizing, actor signatures, output layout — stays testable
+without any codec.
 
 Design notes for the real thing at scale: binary payloads make blocks
 heavy → small ``batch_size`` (64-256) and a raised
@@ -46,25 +49,85 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# --------------------------------------------------------------- codecs
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6) encoder — (h, w, 3) uint8 → bytes. Pure Python/
+    numpy; the public Netpbm format."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) decoder — bytes → (h, w, 3) uint8. Raises
+    ValueError on malformed input (routes to the failure path)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace separated
+    parts, pos = [], 2
+    while len(parts) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment line
+            pos = data.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(data) and not data[end : end + 1].isspace():
+            end += 1
+        parts.append(int(data[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pix = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+# codec name (meta.codec) -> bytes → ndarray decoder. Extend via
+# register_decoder — e.g. register_decoder("jpeg", PIL_based_fn) where
+# image libraries exist.
+DECODERS: dict = {"ppm": decode_ppm}
+
+
+def register_decoder(codec: str, fn) -> None:
+    DECODERS[codec] = fn
+
+
+def _no_decoder(codec: str):
+    return NotImplementedError(
+        f"no registered decoder for codec {codec!r}: real decode requires an "
+        "image library (PIL/libvips/ffmpeg) not present in this container; "
+        "plug it in via register_decoder()"
+    )
+
+
 def attach_fake_media(ds: ray.data.Dataset, id_col: str = "doc_id", kind: str = "image",
-                      payload_bytes: int = 512) -> ray.data.Dataset:
+                      payload_bytes: int = 512, codec: str = "fake") -> ray.data.Dataset:
     """Deterministically synthesize a media column from row ids (test/
-    bench substrate for the decode stages)."""
+    bench substrate for the decode stages). ``codec="ppm"`` emits REAL
+    binary-PPM payloads (decodable by the registry); the default
+    ``"fake"`` emits opaque hash bytes (plumbing-only path)."""
 
     def gen(t: pa.Table) -> pa.Table:
         ids = [str(v) for v in t[id_col].to_pylist()]
         payloads, metas = [], []
         for i in ids:
             seed = hashlib.md5(i.encode()).digest()
-            reps = payload_bytes // len(seed) + 1
-            payloads.append((seed * reps)[:payload_bytes])
+            w, h = 16 + seed[0] % 64, 16 + seed[1] % 64
+            if codec == "ppm":
+                rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
+                payloads.append(encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+            else:
+                reps = payload_bytes // len(seed) + 1
+                payloads.append((seed * reps)[:payload_bytes])
             metas.append(
                 {
-                    "width": 16 + seed[0] % 64,
-                    "height": 16 + seed[1] % 64,
+                    "width": w,
+                    "height": h,
                     "sample_rate": 16000,
                     "n_frames": 1 + seed[2] % 32,
-                    "codec": "fake",
+                    "codec": codec,
                 }
             )
         return pa.table(
@@ -80,40 +143,80 @@ def attach_fake_media(ds: ray.data.Dataset, id_col: str = "doc_id", kind: str = 
 
 
 class DecodeImage:
-    """Actor-pool decode stage. ``real=True`` marks where a real decoder
-    plugs in; the fake path derives a deterministic feature vector from
-    the payload hash (so downstream stages are testable)."""
+    """Actor-pool decode stage. ``real=True`` decodes through the codec
+    registry (PPM works in-container; unregistered codecs raise at the
+    plug point) and emits real pixel statistics as the feature vector;
+    the fake path derives a deterministic feature vector from the
+    payload hash (so downstream stages are testable without codecs)."""
 
     def __init__(self, real: bool = False, feature_dim: int = 8):
         self.real = real
         self.feature_dim = feature_dim
 
+    def _real_features(self, payload: bytes, codec: str) -> list[float]:
+        dec = DECODERS.get(codec)
+        if dec is None:
+            raise _no_decoder(codec)
+        pix = dec(bytes(payload)).astype(np.float32) / np.float32(255.0)
+        h, w = pix.shape[:2]
+        v = np.array(
+            [
+                *pix.mean(axis=(0, 1)),  # mean r, g, b
+                *pix.std(axis=(0, 1)),  # std r, g, b
+                min(1.0, h / 256.0),
+                min(1.0, w / 256.0),
+            ],
+            dtype=np.float32,
+        )
+        return v[: self.feature_dim].tolist()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.real:
-            raise NotImplementedError(
-                "real image decode requires an image library (PIL/libvips) "
-                "not present in this container; plug it in here"
-            )
         feats = []
-        for payload in batch["payload"].to_pylist():
-            h = hashlib.sha256(bytes(payload)).digest()
-            v = np.frombuffer(h[: self.feature_dim * 4], dtype=np.uint32).astype(np.float32)
-            feats.append((v / np.float32(2**32)).tolist())
+        if self.real:
+            codecs = [m["codec"] for m in batch["meta"].to_pylist()]
+            for payload, codec in zip(batch["payload"].to_pylist(), codecs):
+                feats.append(self._real_features(payload, codec))
+        else:
+            for payload in batch["payload"].to_pylist():
+                h = hashlib.sha256(bytes(payload)).digest()
+                v = np.frombuffer(h[: self.feature_dim * 4], dtype=np.uint32).astype(np.float32)
+                feats.append((v / np.float32(2**32)).tolist())
         out = batch.drop_columns(["payload"])  # drop heavy bytes ASAP
         return out.append_column("features", pa.array(feats, type=pa.list_(pa.float32())))
 
 
 class ResizeImage:
-    """Stub resize: updates meta dimensions (real kernel would transform
-    payload); demonstrates struct-column rewrite plumbing."""
+    """Resize stage. ``real=True`` decodes via the registry, resamples
+    (nearest-neighbor, pure numpy), and re-encodes PPM — unregistered
+    codecs raise at the plug point. The stub path updates meta
+    dimensions only (struct-column rewrite plumbing)."""
 
     def __init__(self, width: int = 224, height: int = 224, real: bool = False):
         self.width, self.height, self.real = width, height, real
 
+    def _real_resize(self, payload: bytes, codec: str) -> bytes:
+        dec = DECODERS.get(codec)
+        if dec is None or codec != "ppm":
+            raise _no_decoder(codec)
+        pix = dec(bytes(payload))
+        h, w = pix.shape[:2]
+        yi = (np.arange(self.height) * h // self.height).clip(0, h - 1)
+        xi = (np.arange(self.width) * w // self.width).clip(0, w - 1)
+        return encode_ppm(pix[yi][:, xi])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.real:
-            raise NotImplementedError("real resize needs an image library")
         import pyarrow.compute as pc
+
+        if self.real:
+            codecs = [m["codec"] for m in batch["meta"].to_pylist()]
+            out = [
+                self._real_resize(p, c)
+                for p, c in zip(batch["payload"].to_pylist(), codecs)
+            ]
+            batch = batch.set_column(
+                batch.column_names.index("payload"), "payload",
+                pa.array(out, type=pa.binary()),
+            )
 
         meta = batch["meta"].combine_chunks()
         names = [f.name for f in meta.type]
@@ -151,11 +254,12 @@ class SampleFrames:
 
 
 def decode_features(ds: ray.data.Dataset, concurrency: int = 4,
-                    batch_size: int = 128) -> ray.data.Dataset:
+                    batch_size: int = 128, real: bool = False) -> ray.data.Dataset:
     """The canonical multimodal pipeline shape: small batches through an
     actor pool, heavy payloads dropped at the decode boundary."""
     return ds.map_batches(
         DecodeImage,
+        fn_constructor_kwargs={"real": real},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -216,3 +216,49 @@ def test_embedding_near_dup_string_ids_and_many_planes():
 
     with _pytest.raises(ValueError, match="n_planes"):
         collect(embedding_near_dup(rd.from_arrow(t), n_planes=31))
+
+
+def test_multimodal_real_ppm_roundtrip():
+    """The real=True path on real bytes: PPM encode → registry decode →
+    pixel-statistic features, end-to-end through the actor pool."""
+    import numpy as np
+
+    from raycdc.extras.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(pix)) == pix).all()
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"nonsense")
+
+    docs = rd.from_arrow(doc_table().append_column("did", pa.array([f"d{i}" for i in range(6)])))
+    media = attach_fake_media(docs, id_col="did", codec="ppm")
+    feats = collect(
+        media.map_batches(DecodeImage, fn_constructor_kwargs={"real": True},
+                          batch_format="pyarrow", batch_size=2, concurrency=2)
+    )
+    assert feats.num_rows == 6 and "payload" not in feats.column_names
+    v = feats["features"].to_pylist()
+    assert len(v[0]) == 8 and all(0.0 <= x <= 1.0 for x in v[0])
+    # real features are pixel statistics: uniform-random pixels → mean ≈ 0.5
+    assert 0.3 < v[0][0] < 0.7
+    # deterministic across re-runs
+    feats2 = collect(
+        attach_fake_media(docs, id_col="did", codec="ppm").map_batches(
+            DecodeImage, fn_constructor_kwargs={"real": True},
+            batch_format="pyarrow", batch_size=2, concurrency=2)
+    )
+    assert feats2.sort_by("media_id")["features"].to_pylist() == \
+        feats.sort_by("media_id")["features"].to_pylist()
+
+
+def test_multimodal_real_resize_ppm():
+    from raycdc.extras.multimodal import decode_ppm
+
+    docs = rd.from_arrow(
+        doc_table().slice(0, 3).append_column("did", pa.array([f"d{i}" for i in range(3)]))
+    )
+    media = collect(attach_fake_media(docs, id_col="did", codec="ppm"))
+    resized = ResizeImage(width=32, height=24, real=True)(media)
+    for p in resized["payload"].to_pylist():
+        assert decode_ppm(bytes(p)).shape == (24, 32, 3)
