@@ -99,15 +99,15 @@ def run_bench() -> dict:
     lake = prep_lake()
     tail(lake)
 
-    n_rows = 0
     headline = float("inf")
     for _ in range(int(os.environ.get("RAYCDC_BENCH_PASSES", "2"))):
         lake = prep_lake()  # untimed reset (re-seed)
         t0 = time.time()
         tail(lake)
         headline = min(headline, time.time() - t0)
-        m = lake.manifest()
-        n_rows = sum(p.get("live_rows", 0) for p in m["partitions"].values())
+    # exact converged count (merge-on-read scan; untimed — delta epochs
+    # defer live-row accounting to read/compaction by design)
+    n_rows = lake.live_rows()
     timings["cdc_replay_tokens"] = round(headline, 3)
 
     # ---- secondary pipelines over the driver-provided sf tables

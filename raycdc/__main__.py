@@ -8,9 +8,10 @@ service → wire processors → run flow → watch stats):
     python -m raycdc seed   LAKE BASE_DIR
     python -m raycdc tail   LAKE LOG_DIR [--dead-letter DIR] [--rules rules.json]
                                          [--segments-per-epoch N] [--watch SECONDS]
-    python -m raycdc status LAKE
+    python -m raycdc status LAKE [--exact]
     python -m raycdc read   LAKE --out DIR
     python -m raycdc vacuum LAKE [--keep 1]
+    python -m raycdc compact LAKE [--drop-tombstones]
 
 The CLI owns its Ray session (scripts own sessions; library code never
 calls ray.init — see __ray_entry__ contract).
@@ -82,6 +83,12 @@ def main(argv=None) -> int:
     vp = sub.add_parser("vacuum", help="drop unreferenced old epoch files")
     vp.add_argument("lake")
     vp.add_argument("--keep", type=int, default=1)
+
+    cp = sub.add_parser("compact", help="fold every partition's deltas into a fresh base")
+    cp.add_argument("lake")
+    cp.add_argument("--drop-tombstones", action="store_true",
+                    help="also drop delete tombstones (only safe once upstream "
+                         "segments can no longer be replayed)")
 
     args = p.parse_args(argv)
 
@@ -193,6 +200,13 @@ def main(argv=None) -> int:
     if args.cmd == "vacuum":
         removed = lk.vacuum(keep_epochs=args.keep)
         print(json.dumps({"removed": len(removed)}))
+        return 0
+
+    if args.cmd == "compact":
+        _ray_up(args.num_cpus)
+        dropped = lk.compact(drop_tombs=args.drop_tombstones)
+        m = lk.manifest()
+        print(json.dumps({"epoch": m["epoch"], "tombstones_dropped": dropped}))
         return 0
 
     return 1

@@ -411,6 +411,7 @@ class LakeTable:
         touched = 0
         events_in = 0
         compactions = 0
+        max_part_events = 0
         for r in stats_rows:
             pid = str(r["pid"])
             old = partitions.get(pid, {})
@@ -436,6 +437,7 @@ class LakeTable:
             partitions[pid] = ent
             touched += 1
             events_in += int(r["events_in"])
+            max_part_events = max(max_part_events, int(r["events_in"]))
         schemas = [schema_from_str(r["schema"]) for r in stats_rows]
         if m.get("schema"):
             schemas.append(schema_from_str(m["schema"]))
@@ -459,6 +461,10 @@ class LakeTable:
                 "partitions_touched": touched,
                 "compactions": compactions,
                 "events_after_reduce": events_in,
+                # skew signal (SURVEY §4): a hot partition shows up as
+                # max ≫ mean events per touched partition
+                "max_partition_events": max_part_events,
+                "skew_ratio": round(max_part_events * touched / max(1, events_in), 3),
                 "wall_sec": round(time.time() - t0, 3),
             }
         ]

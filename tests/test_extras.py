@@ -262,3 +262,25 @@ def test_multimodal_real_resize_ppm():
     resized = ResizeImage(width=32, height=24, real=True)(media)
     for p in resized["payload"].to_pylist():
         assert decode_ppm(bytes(p)).shape == (24, 32, 3)
+
+
+def test_minhash_adversarial_identical_corpus_bounded():
+    """Degenerate-bucket guardrail: 300 identical docs share EVERY band
+    bucket; without the cap the pair stage would emit O(n^2) pairs per
+    band. With max_bucket the run completes with bounded output and the
+    truncation is counted into the metrics actor."""
+    from raycdc.metrics import Metrics
+
+    n = 300
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(["same words everywhere forever and ever"] * n)})
+    m = Metrics("adversarial_minhash")
+    m.reset()
+    pairs = collect(minhash_near_dup(
+        rd.from_arrow(t), threshold=0.5, k_shingle=3, num_perm=32, bands=16,
+        max_bucket=16, metrics_name="adversarial_minhash"))
+    # capped: at most C(16,2) distinct pairs survive (identical docs → one bucket set)
+    assert 0 < pairs.num_rows <= 120
+    assert all(r["jaccard"] == 1.0 for r in pairs.to_pylist())
+    stats = m.stats_stable()
+    assert stats.get("minhash_bucket_truncated", 0) > 0

@@ -119,3 +119,23 @@ def test_flatten_struct():
     out2 = {r["id"]: r for r in flatten_struct(
         rd.from_arrow(t), "meta", prefix="m_", stringify=True, max_len=200).take_all()}
     assert out2[3]["m_b"] == "3" and len(out2[3]["m_a"]) == 200
+
+
+def test_cli_compact(tmp_path, capsys):
+    from raycdc.__main__ import main
+
+    work, lake = str(tmp_path / "w"), str(tmp_path / "lakeC")
+    assert main(["synth", work, "--base", "200", "--events", "800", "--segments", "2",
+                 "--min-len", "4", "--max-len", "8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["init", lake, "--partitions", "4"]) == 0
+    assert main(["seed", lake, out["base_dir"]]) == 0
+    assert main(["tail", lake, out["log_dir"]]) == 0
+    capsys.readouterr()
+    assert main(["compact", lake, "--drop-tombstones"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["tombstones_dropped"] >= 0
+    # after compaction live_rows is exact straight from the manifest
+    assert main(["status", lake]) == 0
+    status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["live_rows"] is not None and status["pending_deltas"] == 0
