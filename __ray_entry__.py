@@ -133,6 +133,25 @@ def q_cdc_date_shift(sf_dir: str):
     return ds.map_batches(Shift, batch_format="pyarrow", concurrency=2)
 
 
+def q_cdc_date_shift_shuffle(sf_dir: str):
+    """The high-cardinality variant of cdc_date_shift: no driver dict —
+    one hash-bucket shuffle + per-bucket vectorized groupby-transform
+    (the documented fallback when the key domain exceeds
+    grouped_min_broadcast's driver bound)."""
+    from raycdc.ops import grouped_shift_from_min
+
+    ds = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id"]).append_column(
+            "ts_us", t["ts"].cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_shift_from_min(
+        ds, "user_id", "ts_us", "shift_us", num_buckets=16,
+        keep_cols=["event_id", "user_id", "shift_us"],
+    )
+
+
 def q_pseudo_identity(sf_dir: str):
     """Deterministic pseudo-identity generation (T4 analog —
     IdentityEntry.createPseudoEntry): MD5-derived id, display name, and
@@ -250,6 +269,27 @@ def q_q1_lineitem(sf_dir: str):
     )
 
 
+def q_dedup_exact_rows(sf_dir: str):
+    """The deduplicated corpus itself: one surviving row (min doc_id)
+    per distinct text content — the output a training-data pipeline
+    actually feeds downstream (D1 surviving-rows mode)."""
+    from raycdc.extras.dedup import exact_dedup_rows
+
+    out = exact_dedup_rows(_docs(sf_dir))
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "text", "lang", "source", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_simhash_near_dup(sf_dir: str):
+    """Distributed SimHash near-dup pairs (4-band pigeonhole bucketing +
+    exact Hamming verify; approximate recall → rows-only check)."""
+    from raycdc.extras.dedup import simhash_near_dup
+
+    return simhash_near_dup(_docs(sf_dir), max_hamming=3)
+
+
 # ------------------------------------------------------------------- dedup
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: content-hash groups with first-writer winner (D1)."""
@@ -337,6 +377,30 @@ def q_knn_brute(sf_dir: str):
     return top.map_batches(
         lambda t: t.set_column(t.column_names.index("sim"), "sim", pc.round(t["sim"], 6)),
         batch_format="pyarrow",
+    )
+
+
+def q_knn_multi(sf_dir: str):
+    """Batched multi-query kNN: the query matrix (vec_ids 0,1,2) is
+    broadcast once; each batch scores all queries in one matmul and
+    prunes locally; tiny per-query global top-k."""
+    from raycdc.extras.similarity import knn_brute
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path)
+    qids = [0, 1, 2]
+    vecs = []
+    for qid in qids:
+        vecs.append(
+            np.asarray(
+                qt.filter(pc.equal(qt["vec_id"], qid))["embedding"].to_pylist()[0],
+                dtype=np.float64,
+            )
+        )
+    out = knn_brute(rd.read_parquet(emb_path), np.stack(vecs), k=5)
+    # query_id is the position in the query matrix == the vec_id here
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "sim"]), batch_format="pyarrow"
     )
 
 
@@ -570,15 +634,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_route_matrix": q_cdc_route_matrix,
         "cdc_orphan_routing": q_cdc_orphan_routing,
         "cdc_date_shift": q_cdc_date_shift,
+        "cdc_date_shift_shuffle": q_cdc_date_shift_shuffle,
         "cdc_replay_events": q_cdc_replay_events,
         "cdc_replay_tokens": q_cdc_replay_tokens,
         "pseudo_identity": q_pseudo_identity,
         "q1_lineitem": q_q1_lineitem,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_rows": q_dedup_exact_rows,
+        "simhash_near_dup": q_simhash_near_dup,
         "text_token_count": q_text_token_count,
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
         "knn_brute": q_knn_brute,
+        "knn_multi": q_knn_multi,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "derive_path": q_derive_path,
@@ -670,6 +738,27 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
                   FROM events) t
             WHERE rn = 1
+        """,
+        "cdc_date_shift_shuffle": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS shift_us
+            FROM events
+        """,
+        "dedup_exact_rows": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        """,
+        "knn_multi": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id IN (0, 1, 2))
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+            FROM embeddings e, q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                         e.vec_id) <= 5
         """,
         "pseudo_identity": """
             SELECT doc_id,

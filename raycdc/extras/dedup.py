@@ -46,21 +46,46 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc
     return partial_groupby_agg(hashed, "h", {"keep_id": (id_col, "min"), "dups": (id_col, "count")})
 
 
-def exact_dedup_rows(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup_rows(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
+                     num_buckets: int = 64, batch_size: int = 8192):
     """The deduplicated dataset itself: one surviving row per content
     hash (min id wins). Hash-group shuffle carries full rows — use when
-    the surviving corpus is the product."""
+    the surviving corpus is the product.
+
+    Scale shape: a per-batch local dedup first (rows shrink before the
+    shuffle), then ONE hash-bucket groupby (bounded group count — never
+    one map_groups call per distinct content) with a vectorized
+    sort + run-boundary dedup inside each bucket."""
+    from raycdc.util import bucket_of
 
     def h(t: pa.Table) -> pa.Table:
-        return t.append_column("_h", pa.array(_md5_col(t[text_col].to_pylist())))
+        t = t.append_column("_h", pa.array(_md5_col(t[text_col].to_pylist())))
+        t = _first_per_hash(t, id_col)  # local combiner: ≤1 row/hash/batch
+        return t.append_column("_bucket", pa.array(bucket_of(t.column("_h"), num_buckets)))
 
-    def first(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])[:1]
-        return g.take(idx).drop_columns(["_h"])
+    def first(bucket: pa.Table) -> pa.Table:
+        return _first_per_hash(bucket, id_col).drop_columns(["_h", "_bucket"])
 
-    return ds.map_batches(h, batch_format="pyarrow").groupby("_h").map_groups(
-        first, batch_format="pyarrow"
+    return (
+        ds.map_batches(h, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(first, batch_format="pyarrow")
     )
+
+
+def _first_per_hash(t: pa.Table, id_col: str) -> pa.Table:
+    """Vectorized keep-first-(by id)-per-``_h``: sort by (_h, id), keep
+    run starts."""
+    if t.num_rows <= 1:
+        return t
+    idx = pc.sort_indices(t, sort_keys=[("_h", "ascending"), (id_col, "ascending")])
+    t = t.take(idx)
+    hs = t.column("_h").combine_chunks()
+    n = t.num_rows
+    neq = pc.not_equal(hs.slice(1), hs.slice(0, n - 1))
+    mask = np.ones(n, dtype=bool)
+    mask[1:] = np.asarray(neq.fill_null(True))
+    return t.filter(pa.array(mask))
 
 
 # ----------------------------------------------------------------- minhash
@@ -129,6 +154,42 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return len(ga & gb) / max(1, len(ga | gb))
 
 
+def _dedup_pair_rows(cand: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    """Deduplicate (id_a, id_b) rows found via multiple bands with ONE
+    bounded-fan-out shuffle: bucket by pair hash (never one map_groups
+    group per pair), vectorized sort + run-boundary dedup per bucket."""
+    from raycdc.util import splitmix64, str_hash_u64
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_bucket", pa.array([], pa.int32()))
+        ha = str_hash_u64(t["id_a"])
+        hb = str_hash_u64(t["id_b"])
+        b = (splitmix64(ha ^ splitmix64(hb)) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("_bucket", pa.array(b))
+
+    def uniq(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        if g.num_rows <= 1:
+            return g
+        idx = pc.sort_indices(g, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        a = g.column("id_a").combine_chunks()
+        b = g.column("id_b").combine_chunks()
+        neq = pc.or_(
+            pc.not_equal(a.slice(1), a.slice(0, n - 1)),
+            pc.not_equal(b.slice(1), b.slice(0, n - 1)),
+        )
+        mask = np.ones(n, dtype=bool)
+        mask[1:] = np.asarray(neq.fill_null(True))
+        return g.filter(pa.array(mask))
+
+    return cand.map_batches(stamp, batch_format="pyarrow").groupby("_bucket").map_groups(
+        uniq, batch_format="pyarrow"
+    )
+
+
 def candidate_pairs_from_bands(
     banded: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -162,9 +223,7 @@ def candidate_pairs_from_bands(
         return pa.table({"id_a": pa.array(out_a, id_type), "id_b": pa.array(out_b, id_type)})
 
     cand = banded.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pyarrow")
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _dedup_pair_rows(cand)
 
 
 def verify_jaccard_pairs(
@@ -381,7 +440,7 @@ def simhash_near_dup(ds: ray.data.Dataset, text_col: str = "text", id_col: str =
                          "hamming": pa.array(hs[keep], pa.int64())})
 
     cand = exploded.groupby(["band_id", "band_val"]).map_groups(pairs, batch_format="pyarrow")
-    return cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _dedup_pair_rows(cand)
 
 
 # --------------------------------------------------------------- embeddings

@@ -126,6 +126,40 @@ def broadcast_lookup(
     return ds.map_batches(Lookup, batch_format="pyarrow", batch_size=batch_size, concurrency=2)
 
 
+def grouped_shift_from_min(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    out_col: str,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+    keep_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """High-cardinality grouped-min-then-shift (the date-shift pattern,
+    M10/A3) WITHOUT a driver-side dict: ONE hash-bucket shuffle
+    (bounded fan-out — ``num_buckets`` groups, never one group per key),
+    then a vectorized pandas ``groupby(...).transform('min')`` inside
+    each bucket. Use this when the key domain exceeds
+    :func:`grouped_min_broadcast`'s driver bound."""
+    from raycdc.util import bucket_of
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["_bucket"]).to_pandas()
+        df[out_col] = df[col] - df.groupby(key)[col].transform("min")
+        if keep_cols:
+            df = df[keep_cols]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def flatten_struct(
     ds: ray.data.Dataset,
     col: str,

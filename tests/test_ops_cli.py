@@ -139,3 +139,24 @@ def test_cli_compact(tmp_path, capsys):
     assert main(["status", lake]) == 0
     status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert status["live_rows"] is not None and status["pending_deltas"] == 0
+
+
+def test_grouped_shift_from_min_matches_broadcast():
+    import pandas as pd
+
+    from raycdc.ops import grouped_shift_from_min
+
+    rng = np.random.default_rng(5)
+    t = pa.table({
+        "event_id": pa.array(range(400), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 40, 400), pa.int64()),
+        "ts_us": pa.array(rng.integers(0, 10**9, 400), pa.int64()),
+    })
+    out = grouped_shift_from_min(
+        rd.from_arrow(t).repartition(4), "user_id", "ts_us", "shift_us",
+        num_buckets=8, keep_cols=["event_id", "user_id", "shift_us"],
+    )
+    got = {r["event_id"]: r["shift_us"] for r in out.take_all()}
+    df = t.to_pandas()
+    expect = df["ts_us"] - df.groupby("user_id")["ts_us"].transform("min")
+    assert got == dict(zip(df["event_id"], expect))
