@@ -43,20 +43,27 @@ def last_writer_per_key(t: pa.Table, key: str = "doc_id", lsn_col: str = "lsn") 
     ``key``. Ties (duplicate replays of the same (key, lsn)) keep one row
     arbitrarily — replays carry identical payloads by contract, so the
     choice is immaterial (idempotence, reference analog
-    ``DeidentificationController.java:110-117``)."""
+    ``DeidentificationController.java:110-117``).
+
+    Hot-path note: only the (key, lsn) columns are sorted/reordered; the
+    winner set is scattered back to original positions and the payload
+    (token lists — the heavy bytes) is copied ONCE by the final filter,
+    never reordered by a full-table take. Output row order is the input
+    order of the winners, which every consumer treats as unordered."""
     n = t.num_rows
     if n <= 1:
         return t
-    idx = pc.sort_indices(
-        t, sort_keys=[(key, "ascending"), (lsn_col, "ascending")]
-    )
-    t = t.take(idx)
-    keys = t.column(key).combine_chunks()
-    # last row of each run of equal keys
-    neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
-    mask = np.ones(n, dtype=bool)
-    mask[: n - 1] = np.asarray(neq.fill_null(True))
-    return t.filter(pa.array(mask))
+    keycols = t.select([key, lsn_col])
+    idx = pc.sort_indices(keycols, sort_keys=[(key, "ascending"), (lsn_col, "ascending")])
+    idx_np = np.asarray(idx)
+    keys_sorted = t.column(key).combine_chunks().take(idx)
+    # last row of each run of equal keys (in sorted order)
+    neq = pc.not_equal(keys_sorted.slice(1), keys_sorted.slice(0, n - 1))
+    last_of_run = np.ones(n, dtype=bool)
+    last_of_run[: n - 1] = np.asarray(neq.fill_null(True))
+    keep = np.zeros(n, dtype=bool)
+    keep[idx_np[last_of_run]] = True
+    return t.filter(pa.array(keep))
 
 
 def drop_tombstones(t: pa.Table, op_col: str = "op") -> pa.Table:

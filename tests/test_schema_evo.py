@@ -64,6 +64,16 @@ def test_lake_schema_evolution_add_column(tmp_path):
     # an untouched base row backfills null
     assert by_id[base["doc_id"][5].as_py()]["lang"] is None
     assert out.num_rows == 51
+    # compaction folds the evolved deltas into new bases without losing
+    # the evolved schema or any rows
+    lk.compact()
+    out2 = pa.concat_tables(
+        list(lk.read().iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="permissive",
+    )
+    assert out2.num_rows == 51 and "lang" in out2.column_names
+    by_id2 = {r["doc_id"]: r for r in out2.to_pylist()}
+    assert by_id2["doc-new-x"]["lang"] == "en"
 
 
 def test_lake_schema_evolution_widen(tmp_path):
