@@ -290,6 +290,45 @@ def q_simhash_near_dup(sf_dir: str):
     return simhash_near_dup(_docs(sf_dir), max_hamming=3)
 
 
+def q_join_orders_nation(sf_dir: str):
+    """Distributed hash join (both sides large — no broadcast): orders ⋈
+    customer on custkey via ops.hash_join (one bounded bucket shuffle +
+    per-bucket Arrow-gather merge), then combiner aggregation per nation
+    and a broadcast nation-name lookup."""
+    from raycdc.ops import broadcast_lookup, hash_join, partial_groupby_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.rename_columns(["custkey", "totalprice"]), batch_format="pyarrow"
+    )
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["custkey", "nationkey"]), batch_format="pyarrow"
+    )
+    joined = hash_join(orders, customer, "custkey", how="inner", num_buckets=16)
+    agg = partial_groupby_agg(
+        joined, "nationkey",
+        {"revenue": ("totalprice", "sum"), "n_orders": ("custkey", "count")},
+    )
+    nt = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
+    named = broadcast_lookup(
+        agg, "nationkey", dict(zip(nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist())),
+        "n_name",
+    )
+    return named.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"],
+                "revenue": pc.round(t["revenue"], 2),
+                "n_orders": t["n_orders"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------------------- dedup
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: content-hash groups with first-writer winner (D1)."""
@@ -639,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_tokens": q_cdc_replay_tokens,
         "pseudo_identity": q_pseudo_identity,
         "q1_lineitem": q_q1_lineitem,
+        "join_orders_nation": q_join_orders_nation,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_rows": q_dedup_exact_rows,
         "simhash_near_dup": q_simhash_near_dup,
@@ -773,6 +813,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_orders_nation": """
+            SELECT n.n_name,
+                   round(sum(o.o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name
         """,
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups

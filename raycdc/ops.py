@@ -126,6 +126,98 @@ def broadcast_lookup(
     return ds.map_batches(Lookup, batch_format="pyarrow", batch_size=batch_size, concurrency=2)
 
 
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    how: str = "inner",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Distributed hash join for two LARGE sides (when the small-side
+    :func:`broadcast_lookup` doesn't apply). Ray Data 2.49 has no join
+    primitive; this composes one from a single bounded-fan-out shuffle:
+
+    1. both streams are conformed to a unified schema (side-exclusive
+       columns null-backfilled) and stamped with ``_side`` and
+       ``_bucket = hash(key) % num_buckets``;
+    2. ONE ``groupby(_bucket)`` co-locates matching keys (bounded group
+       count — never a group per key);
+    3. each bucket splits by side and joins with a vectorized pandas
+       merge.
+
+    ``how`` ∈ {"inner", "left"}. Column-name collisions (other than
+    ``key``) take a ``_r`` suffix from the right side. Partitioning
+    assumption: any single bucket's rows fit a worker (raise
+    ``num_buckets`` for bigger data; salt upstream for a pathological
+    hot key)."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    from raycdc.util import bucket_of
+
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
+    rename = {
+        n: f"{n}_r" for n in rsch.names if n != key and n in lcols
+    }
+    rcols_out = [rename.get(n, n) for n in rsch.names if n != key]
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = {rename.get(n, n): t for n, t in zip(rsch.names, rsch.types) if n != key}
+    unified = pa.schema(
+        [(n, ltypes[n]) for n in lcols]
+        + [(n, rtypes[n]) for n in rcols_out]
+        + [("_side", pa.int8())]
+    )
+
+    def conform(side: int, colmap: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = []
+            for f in unified:
+                if f.name == "_side":
+                    cols.append(pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+                else:
+                    src = colmap.get(f.name)
+                    if src is not None and src in t.column_names:
+                        cols.append(t.column(src).cast(f.type))
+                    else:
+                        cols.append(pa.nulls(t.num_rows, type=f.type))
+            out = pa.Table.from_arrays(cols, schema=unified)
+            return out.append_column("_bucket", pa.array(bucket_of(out.column(key), num_buckets)))
+
+        return fn
+
+    lmap = {n: n for n in lcols}
+    rmap = {rename.get(n, n): n for n in rsch.names}
+    tagged = left.map_batches(conform(0, lmap), batch_format="pyarrow", batch_size=batch_size).union(
+        right.map_batches(conform(1, rmap), batch_format="pyarrow", batch_size=batch_size)
+    )
+
+    left_only = [n for n in lcols if n != key]
+    want = pa.schema([(f.name, f.type) for f in unified if f.name != "_side"])
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = np.asarray(g["_side"])
+        lt = g.filter(pa.array(side == 0)).select([key, *left_only]).combine_chunks()
+        rt = g.filter(pa.array(side == 1)).select([key, *rcols_out]).combine_chunks()
+        # pandas merges only the (key, position) mapping — payload columns
+        # are gathered by Arrow take (null indices emit nulls on 'left')
+        m = pd.merge(
+            pd.DataFrame({"k": lt.column(key).to_pandas(), "li": np.arange(lt.num_rows)}),
+            pd.DataFrame({"k": rt.column(key).to_pandas(), "ri": np.arange(rt.num_rows)}),
+            on="k",
+            how=how,
+        )
+        li = pa.array(m["li"].to_numpy(np.int64))
+        ri = pa.Array.from_pandas(m["ri"].astype("Int64"))
+        cols = [lt.column(c).take(li) for c in (key, *left_only)]
+        cols += [rt.column(c).take(ri) for c in rcols_out]
+        return pa.Table.from_arrays(cols, schema=want)
+
+    return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
 def grouped_shift_from_min(
     ds: ray.data.Dataset,
     key: str,

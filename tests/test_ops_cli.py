@@ -160,3 +160,35 @@ def test_grouped_shift_from_min_matches_broadcast():
     df = t.to_pandas()
     expect = df["ts_us"] - df.groupby("user_id")["ts_us"].transform("min")
     assert got == dict(zip(df["event_id"], expect))
+
+
+def test_hash_join_inner_and_left():
+    from raycdc.ops import hash_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3, 4, 2], pa.int64()),
+        "payload": pa.array([[1], [2, 2], [3], [4], [22]], pa.list_(pa.int32())),
+        "name": ["a", "b", "c", "d", "b2"],
+    })
+    right = pa.table({
+        "k": pa.array([2, 3, 3, 9], pa.int64()),
+        "name": ["R2", "R3", "R3x", "R9"],  # collides with left 'name' → name_r
+        "score": pa.array([0.2, 0.3, 0.33, 0.9], pa.float64()),
+    })
+    inner = collect_rows(hash_join(rd.from_arrow(left).repartition(3),
+                                   rd.from_arrow(right), "k", how="inner", num_buckets=4))
+    # k=2 matches twice on left side × once right; k=3 once × twice
+    assert sorted((r["k"], r["name"], r["name_r"]) for r in inner) == [
+        (2, "b", "R2"), (2, "b2", "R2"), (3, "c", "R3"), (3, "c", "R3x")]
+    assert all(r["payload"] is not None for r in inner)
+
+    lj = collect_rows(hash_join(rd.from_arrow(left), rd.from_arrow(right), "k",
+                                how="left", num_buckets=4))
+    assert len(lj) == 6  # 4 matches + unmatched k=1, k=4
+    unmatched = [r for r in lj if r["k"] in (1, 4)]
+    assert all(r["name_r"] is None and r["score"] is None for r in unmatched)
+    assert all(r["payload"] is not None for r in lj)  # left payload survives
+
+
+def collect_rows(ds):
+    return ds.take_all()
