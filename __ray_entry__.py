@@ -342,6 +342,62 @@ def q_dedup_exact(sf_dir: str):
     return partial_groupby_agg(ds, "h", {"keep_id": ("doc_id", "min"), "dups": ("doc_id", "count")})
 
 
+def q_deterministic_sample(sf_dir: str):
+    """Content-addressed Bernoulli sample (rate 2/16): replay-stable,
+    partitioning-independent row selection — the property a resumable
+    curation pipeline needs (ds.random_sample is neither)."""
+    from raycdc.ops import deterministic_sample
+
+    out = deterministic_sample(_docs(sf_dir), "doc_id", keep_sixteenths=2)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang", "source", "n_chars"]), batch_format="pyarrow"
+    )
+
+
+def q_token_chunks(sf_dir: str):
+    """Fixed-context chunking metadata (training-data shaping over the
+    tokens schema): documents get a synthetic token stream of length
+    n_chars, split into 128-token chunks; emits (doc_id, chunk_idx,
+    n_tok) rows — chunk math checked against a generate_series oracle."""
+    from raycdc.extras.tokens import chunk_sequences
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        lens = np.asarray(t["n_chars"].cast(pa.int64()))
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat = np.arange(int(offsets[-1]), dtype=np.int32) - np.repeat(
+            offsets[:-1], lens
+        ).astype(np.int32)
+        tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(flat))
+        return pa.table({"doc_id": t["doc_id"], "tokens": tokens})
+
+    docs = _docs(sf_dir).map_batches(tokenize, batch_format="pyarrow")
+    out = chunk_sequences(docs, 128)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "chunk_idx", "n_tok"]), batch_format="pyarrow"
+    )
+
+
+def q_pack_sequences(sf_dir: str):
+    """Block-local greedy sequence packing over the same synthetic token
+    stream (rows-only: pack boundaries depend on block layout by design)."""
+    from raycdc.extras.tokens import pack_sequences
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        lens = np.asarray(t["n_chars"].cast(pa.int64()))
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat = np.zeros(int(offsets[-1]), dtype=np.int32)
+        tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(flat))
+        return pa.table({"doc_id": t["doc_id"], "tokens": tokens})
+
+    docs = _docs(sf_dir).repartition(2).map_batches(tokenize, batch_format="pyarrow")
+    out = pack_sequences(docs, 512, eos_token=0)
+    return out.map_batches(
+        lambda t: t.select(["pack_id", "n_tok", "n_docs"]), batch_format="pyarrow"
+    )
+
+
 # -------------------------------------------------------------------- text
 def q_text_token_count(sf_dir: str):
     def f(t: pa.Table) -> pa.Table:
@@ -682,6 +738,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_rows": q_dedup_exact_rows,
         "simhash_near_dup": q_simhash_near_dup,
+        "deterministic_sample": q_deterministic_sample,
+        "token_chunks": q_token_chunks,
+        "pack_sequences": q_pack_sequences,
         "text_token_count": q_text_token_count,
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
@@ -826,6 +885,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
             FROM documents GROUP BY md5(text)
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        """,
+        "token_chunks": """
+            WITH c AS (
+              SELECT doc_id, n_chars,
+                     unnest(generate_series(0, CAST(ceil(n_chars / 128.0) AS BIGINT) - 1)) AS i
+              FROM documents WHERE n_chars > 0)
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_idx,
+                   CAST(least(128, n_chars - i * 128) AS INTEGER) AS n_tok
+            FROM c
         """,
         "text_token_count": """
             SELECT doc_id,

@@ -126,6 +126,34 @@ def broadcast_lookup(
     return ds.map_batches(Lookup, batch_format="pyarrow", batch_size=batch_size, concurrency=2)
 
 
+def deterministic_sample(
+    ds: ray.data.Dataset,
+    key: str,
+    keep_sixteenths: int = 2,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Content-addressed Bernoulli sample: keep a row iff the first hex
+    digit of ``md5(str(key))`` is < ``keep_sixteenths`` (rate = k/16).
+    Unlike ``ds.random_sample`` this is a pure function of the key —
+    replay-stable, partitioning-independent, and expressible in SQL for
+    the oracle — the property a resumable training-data curation
+    pipeline needs (same row set on every rerun)."""
+    if not 0 <= keep_sixteenths <= 16:
+        raise ValueError("keep_sixteenths must be in [0, 16]")
+    allowed = set("0123456789abcdef"[:keep_sixteenths])
+
+    def pick(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        vals = t.column(key).cast(pa.string()).to_pylist()
+        keep = pa.array(
+            [v is not None and hashlib.md5(v.encode()).hexdigest()[0] in allowed for v in vals]
+        )
+        return t.filter(keep)
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=batch_size)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

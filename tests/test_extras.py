@@ -284,3 +284,48 @@ def test_minhash_adversarial_identical_corpus_bounded():
     assert all(r["jaccard"] == 1.0 for r in pairs.to_pylist())
     stats = m.stats_stable()
     assert stats.get("minhash_bucket_truncated", 0) > 0
+
+
+# ------------------------------------------------------------------ tokens
+def token_doc_table():
+    return pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(5)]),
+        "tokens": pa.array([list(range(10)), list(range(300)), [], [7], list(range(128))],
+                           type=pa.list_(pa.int32())),
+    })
+
+
+def test_chunk_sequences():
+    from raycdc.extras.tokens import chunk_sequences
+
+    out = collect(chunk_sequences(rd.from_arrow(token_doc_table()), 128))
+    rows = sorted(out.to_pylist(), key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc["d0"]) == 1 and by_doc["d0"][0]["n_tok"] == 10
+    assert len(by_doc["d1"]) == 3  # 300 = 128+128+44
+    assert [r["n_tok"] for r in by_doc["d1"]] == [128, 128, 44]
+    assert "d2" not in by_doc  # empty doc emits nothing
+    assert by_doc["d4"][0]["n_tok"] == 128 and len(by_doc["d4"]) == 1
+    # token streams are preserved exactly
+    d1 = sum((r["tokens"] for r in by_doc["d1"]), [])
+    assert d1 == list(range(300))
+
+
+def test_pack_sequences_preserves_tokens_and_counts_docs():
+    from raycdc.extras.tokens import pack_sequences
+
+    t = token_doc_table()
+    out = collect(pack_sequences(rd.from_arrow(t), 100, eos_token=-1))
+    # total stream = sum(len)+eos per doc = 10+300+0+1+128 + 5 = 444
+    toks = sum((r["tokens"] for r in out.to_pylist()), [])
+    assert len(toks) == 444
+    assert sum(r["n_docs"] for r in out.to_pylist()) == 5
+    full = [r for r in out.to_pylist() if r["n_tok"] == 100]
+    assert len(full) == 4 and out.num_rows == 5  # 4 full + 1 partial (44)
+    # stream order within the batch is doc order with EOS separators
+    assert toks[:11] == list(range(10)) + [-1]
+    # drop_remainder drops the partial row
+    out2 = collect(pack_sequences(rd.from_arrow(t), 100, eos_token=-1, drop_remainder=True))
+    assert out2.num_rows == 4 and all(r["n_tok"] == 100 for r in out2.to_pylist())
