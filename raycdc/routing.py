@@ -98,25 +98,41 @@ class ValidateAndDivert:
     rows under a new file name) — fine for a repair/diagnostics stream,
     mirroring the reference's failure-relationship loop-back semantics
     (``PutDICOM.java:83-86``).
+
+    Stateless by design: prefer :func:`make_validator` (a plain function
+    for ``map_batches``) on the hot path — task stages FUSE with
+    adjacent task stages and use every core, while a callable class
+    forces an actor pool (bounded concurrency + per-actor warmup and no
+    fusion with the neighboring reduce stage).
     """
 
     def __init__(self, dead_letter_dir: str | None = None):
-        self.dead_dir = dead_letter_dir
-        if dead_letter_dir:
-            os.makedirs(dead_letter_dir, exist_ok=True)
+        self.fn = make_validator(dead_letter_dir)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.fn(batch)
+
+
+def make_validator(dead_letter_dir: str | None = None):
+    """A stateless validate+divert batch fn (see :class:`ValidateAndDivert`)."""
+    if dead_letter_dir:
+        os.makedirs(dead_letter_dir, exist_ok=True)
+
+    def validate_divert(batch: pa.Table) -> pa.Table:
         stamped = stamp_route(batch)
         routes = stamped[ROUTE_COL]
         ok_mask = pc.equal(routes, ROUTE_OK)
         n_bad = batch.num_rows - pc.sum(ok_mask.cast(pa.int64())).as_py()
-        if n_bad and self.dead_dir:
+        if n_bad and dead_letter_dir:
             import uuid
 
             import pyarrow.parquet as pq
 
+            os.makedirs(dead_letter_dir, exist_ok=True)  # remote worker may not have it
             dead = stamped.filter(pc.invert(ok_mask))
             pq.write_table(
-                dead, os.path.join(self.dead_dir, f"dead-{uuid.uuid4().hex[:12]}.parquet")
+                dead, os.path.join(dead_letter_dir, f"dead-{uuid.uuid4().hex[:12]}.parquet")
             )
         return stamped.filter(ok_mask).drop_columns([ROUTE_COL])
+
+    return validate_divert

@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray.data
 
 from raycdc.lake import LakeTable
-from raycdc.routing import ValidateAndDivert
+from raycdc.routing import make_validator
 
 
 def list_segments(log_dir: str, suffix: str = ".parquet") -> list[str]:
@@ -80,12 +80,13 @@ def tail_once(
     if dead_letter_dir is not None:
         epoch = lake.manifest()["epoch"] + 1
         dl = os.path.join(dead_letter_dir, f"epoch={epoch:06d}")
+    # stateless task stage: fuses with the downstream per-batch reduce
+    # and uses every core (an actor pool here capped parallelism at its
+    # pool size and paid per-actor warmup)
     ok = ds.map_batches(
-        ValidateAndDivert,
-        fn_constructor_kwargs={"dead_letter_dir": dl},
+        make_validator(dl),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 8),
     )
     if transform is not None:
         ok = transform(ok)
