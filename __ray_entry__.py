@@ -342,6 +342,18 @@ def q_dedup_exact(sf_dir: str):
     return partial_groupby_agg(ds, "h", {"keep_id": ("doc_id", "min"), "dups": ("doc_id", "count")})
 
 
+def q_text_curation(sf_dir: str):
+    """Composed curation pipeline under ONE oracle: language-ID →
+    quality score → filter (lang='en', quality ≥ 0.5) → exact
+    first-writer dedup; the SQL mirror chains the same CTEs."""
+    from raycdc.pipelines import curate_text
+
+    out = curate_text(_docs(sf_dir), lang="en", min_quality=0.5, dedup=True)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang_pred", "quality"]), batch_format="pyarrow"
+    )
+
+
 def q_deterministic_sample(sf_dir: str):
     """Content-addressed Bernoulli sample (rate 2/16): replay-stable,
     partitioning-independent row selection — the property a resumable
@@ -739,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_rows": q_dedup_exact_rows,
         "simhash_near_dup": q_simhash_near_dup,
         "deterministic_sample": q_deterministic_sample,
+        "text_curation": q_text_curation,
         "token_chunks": q_token_chunks,
         "pack_sequences": q_pack_sequences,
         "text_token_count": q_text_token_count,
@@ -784,8 +797,7 @@ def oracle_sql() -> dict[str, str]:
                greatest(c_en, c_fr, c_de, c_es) AS lang_hits
         FROM c
     """
-    quality_sql = f"""
-        WITH f AS (
+    quality_features = f"""
           SELECT doc_id,
                  CAST(len(regexp_extract_all(lower(text), '{pats["en"]}')) AS DOUBLE)
                    / greatest(1.0, CAST(len(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS DOUBLE)) AS stop_ratio,
@@ -793,17 +805,36 @@ def oracle_sql() -> dict[str, str]:
                    / greatest(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)) AS mean_word_len,
                  CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
                    / greatest(1.0, CAST(length(text) AS DOUBLE)) AS punct_ratio
-          FROM documents)
-        SELECT doc_id, stop_ratio, mean_word_len, punct_ratio,
-               stop_ratio * 2.0
+          FROM documents"""
+    quality_expr = """stop_ratio * 2.0
                  + CASE WHEN mean_word_len > 2.5 AND mean_word_len < 10.0
                         THEN 1.0 ELSE 0.0 END
-                 - punct_ratio * 5.0 AS quality
+                 - punct_ratio * 5.0"""
+    quality_sql = f"""
+        WITH f AS ({quality_features})
+        SELECT doc_id, stop_ratio, mean_word_len, punct_ratio,
+               {quality_expr} AS quality
         FROM f
+    """
+    lang_pred_case = """CASE WHEN greatest(c_en, c_fr, c_de, c_es) < 1 THEN 'und'
+                    WHEN c_en >= c_fr AND c_en >= c_de AND c_en >= c_es THEN 'en'
+                    WHEN c_fr >= c_de AND c_fr >= c_es THEN 'fr'
+                    WHEN c_de >= c_es THEN 'de'
+                    ELSE 'es' END"""
+    curation_sql = f"""
+        WITH lc AS (SELECT doc_id, text, {lang_counts} FROM documents),
+             l AS (SELECT doc_id, text, {lang_pred_case} AS lang_pred FROM lc),
+             f AS ({quality_features}),
+             q AS (SELECT doc_id, {quality_expr} AS quality FROM f)
+        SELECT l.doc_id, l.lang_pred, q.quality
+        FROM l JOIN q ON q.doc_id = l.doc_id
+        WHERE l.lang_pred = 'en' AND q.quality >= 0.5
+        QUALIFY row_number() OVER (PARTITION BY md5(l.text) ORDER BY l.doc_id) = 1
     """
     return {
         "lang_id": lang_sql,
         "text_quality": quality_sql,
+        "text_curation": curation_sql,
         "cdc_lww_latest": """
             SELECT user_id, event_id AS lsn, event_type, round(value, 2) AS value
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

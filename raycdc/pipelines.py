@@ -91,6 +91,50 @@ def ensure_synth_inputs(
     return base_dir, log_dir
 
 
+def curate_text(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str | None = None,
+    min_quality: float | None = None,
+    dedup: bool = True,
+    concurrency: int = 4,
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Composed training-data curation: language-ID → quality scoring →
+    predicate filter → exact first-writer dedup. Every stage is a
+    streaming ``map_batches`` (actor pools for the scored stages); the
+    only shuffle is the dedup's bounded bucket groupby. Rows keep their
+    ``lang_pred``/``quality`` columns for downstream routing/audit."""
+    import pyarrow.compute as pc
+
+    from raycdc.extras.dedup import exact_dedup_rows
+    from raycdc.extras.text import LangId, QualityScore
+
+    # task stages (callable INSTANCES, not classes): the scorer "state" is
+    # just pattern strings, and task stages fuse and never pin CPUs the
+    # downstream dedup shuffle needs (two fixed actor pools ahead of an
+    # all-to-all can starve it outright on a small cluster)
+    ds = ds.map_batches(LangId(text_col=text_col), batch_format="pyarrow",
+                        batch_size=batch_size)
+    ds = ds.map_batches(QualityScore(text_col=text_col), batch_format="pyarrow",
+                        batch_size=batch_size)
+
+    def keep(t):
+        mask = None
+        if lang is not None:
+            mask = pc.equal(t["lang_pred"], lang)
+        if min_quality is not None:
+            qm = pc.greater_equal(t["quality"], min_quality)
+            mask = qm if mask is None else pc.and_(mask, qm)
+        return t if mask is None else t.filter(mask)
+
+    ds = ds.map_batches(keep, batch_format="pyarrow")
+    if dedup:
+        ds = exact_dedup_rows(ds, text_col=text_col, id_col=id_col)
+    return ds
+
+
 def cdc_replay(
     sf_dir: str | None = None,
     work_root: str = "/tmp/raycdc_work",
