@@ -19,16 +19,26 @@ Reference capabilities re-expressed (SURVEY.md §2.1 S2/S5, §2.7 W4/W5):
 * Flyway bootstrap (``V1.0__create.sql``) → :meth:`LakeTable.init`
   (idempotent manifest v0).
 
-**Write-amplification design (the 100-TB property).** An epoch writes,
-per touched partition, a *delta* file containing only that epoch's
-(LWW-reduced) events — bytes written are proportional to events applied,
-NOT to state size. ``read()`` is merge-on-read: each partition's base +
-deltas are folded (per-key last-writer-wins) inside a parallel Ray task.
-When a partition's pending delta count reaches ``compact_deltas``, the
-epoch write compacts that partition (base ⊔ deltas ⊔ new events → a new
-base) — amortized rewrite cost O(state / compact_deltas) per epoch, and
-read fan-in bounded by ``compact_deltas`` files. The very first write to
-a partition goes straight to a base file (it is already fully folded).
+**Write-amplification design (the 100-TB property).** An epoch writes
+only that epoch's (LWW-reduced) events — bytes written are proportional
+to events applied, NOT to state size — in one of two commit modes:
+
+* ``shuffle`` — a hash-bucket all-to-all routes events to their owning
+  partition and each touched partition appends one *delta* file;
+  auto-compaction when a partition accumulates ``compact_deltas``
+  pending deltas. Read fan-in ≤ ``compact_deltas`` + 1 per partition.
+* ``l0`` — **no shuffle at all**: each ingest task writes one
+  bucket-SORTED run file with ~P row groups; partition reads prune to
+  their own row groups via parquet statistics (``filters=``). The apply
+  epoch is a map-only pass — on a multi-node cluster every write is
+  node-local and zero bytes cross the network, so ingest scales
+  linearly with nodes; merge cost moves to read/compaction
+  (LSM level-0 / Hudi merge-on-read shape). Auto-compaction bounds
+  pending runs at ``l0_compact_files``.
+
+``read()`` is merge-on-read in both modes: each partition's base +
+deltas/pruned runs are folded (per-key last-writer-wins) inside one
+parallel Ray task per partition.
 
 State model: state files hold the converged rows PLUS their winning
 ``lsn`` and ``op`` — including **delete tombstones**. Tombstones are
@@ -57,6 +67,7 @@ import os
 import time
 import uuid
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -181,12 +192,35 @@ class LakeTable:
         lsn_col: str = "lsn",
         op_col: str = "op",
         compact_deltas: int = 4,
+        commit_mode: str = "shuffle",
+        l0_compact_files: int = 24,
     ):
+        """``commit_mode`` picks the ingest/merge trade:
+
+        * ``"shuffle"`` — per-partition delta files via a hash-bucket
+          all-to-all each epoch. Reads fold ≤ ``compact_deltas`` files
+          per partition. Read-optimized.
+        * ``"l0"`` — **shuffle-free ingest** (LSM level-0 / merge-on-read
+          style): each ingest task writes one bucket-SORTED run file
+          with ~``num_partitions`` row groups, so a partition read
+          prunes to its own row groups via parquet statistics. No
+          all-to-all in the apply path at all — the epoch is map-only
+          and scales linearly with cores/nodes. Reads fold base + every
+          pending L0 run (pruned); when pending runs exceed
+          ``l0_compact_files`` the apply auto-compacts (Ray-parallel,
+          one task per partition, storage-pruned reads — still no
+          network shuffle). Write-optimized; the 10^10-event ingest
+          path.
+        """
+        if commit_mode not in ("shuffle", "l0"):
+            raise ValueError("commit_mode must be 'shuffle' or 'l0'")
         self.path = path
         self.key = key
         self.lsn_col = lsn_col
         self.op_col = op_col
         self.compact_deltas = compact_deltas
+        self.commit_mode = commit_mode
+        self.l0_compact_files = l0_compact_files
         self._requested_partitions = num_partitions
 
     # ------------------------------------------------------------ manifest
@@ -208,13 +242,15 @@ class LakeTable:
         if self.exists():
             return self.manifest()
         m = {
-            "version": 2,
+            "version": 3,
             "epoch": 0,
             "num_partitions": self._requested_partitions,
             "key": self.key,
             "segments_applied": [],
             # str(pid) -> {base, deltas, rows, live_rows|None, watermark}
             "partitions": {},
+            # L0 run files (bucket-sorted, span all partitions): [{file, rows, watermark}]
+            "l0": [],
             "history": [],
         }
         _atomic_write_json(self.manifest_path, m)
@@ -229,10 +265,21 @@ class LakeTable:
         def fold(batch: pa.Table) -> pa.Table:
             outs = []
             for row in batch.to_pylist():
-                files = json.loads(row["files"])
-                parts = [pq.read_table(os.path.join(lake_path, f)) for f in files]
+                pid = int(row["pid"])
+                parts = [
+                    pq.read_table(os.path.join(lake_path, f))
+                    for f in json.loads(row["files"])
+                ]
+                for f in json.loads(row.get("l0") or "[]"):
+                    # bucket-sorted run file: parquet row-group statistics
+                    # prune the read to this partition's row groups
+                    t0 = pq.read_table(
+                        os.path.join(lake_path, f), filters=[("_bucket", "=", pid)]
+                    )
+                    parts.append(t0.drop_columns(["_bucket"]))
                 if conform is not None:
                     parts = [conform(p) for p in parts]
+                parts = [p for p in parts if p.num_rows] or parts[:1]
                 t = (
                     parts[0]
                     if len(parts) == 1
@@ -249,12 +296,17 @@ class LakeTable:
         return fold
 
     def _descriptors(self, m: dict) -> list[dict]:
+        l0_files = [e["file"] for e in m.get("l0", [])]
+        l0_json = json.dumps(l0_files)
         descs = []
-        for pid, ent in m["partitions"].items():
-            base, deltas = _part_files(ent)
+        pids = set(range(m["num_partitions"])) if l0_files else set()
+        pids.update(int(p) for p in m["partitions"])
+        for pid in sorted(pids):
+            ent = m["partitions"].get(str(pid), {})
+            base, deltas = _part_files(ent) if ent else (None, [])
             files = ([base] if base else []) + deltas
-            if files:
-                descs.append({"pid": int(pid), "files": json.dumps(files)})
+            if files or l0_files:
+                descs.append({"pid": pid, "files": json.dumps(files), "l0": l0_json})
         return descs
 
     def read(self, include_tombstones: bool = False) -> ray.data.Dataset:
@@ -272,31 +324,23 @@ class LakeTable:
 
     def read_partition(self, pid: int, include_tombstones: bool = False) -> pa.Table:
         m = self.manifest()
-        ent = m["partitions"].get(str(pid))
-        if ent is None:
+        descs = {d["pid"]: d for d in self._descriptors(m)}
+        if pid not in descs:
             return None
-        base, deltas = _part_files(ent)
-        files = ([base] if base else []) + deltas
-        parts = [pq.read_table(os.path.join(self.path, f)) for f in files]
-        if m.get("schema"):
-            conform = conform_to(schema_from_str(m["schema"]))
-            parts = [conform(p) for p in parts]
-        t = parts[0] if len(parts) == 1 else pa.concat_tables(parts, promote_options="permissive")
-        if len(parts) > 1:
-            t = last_writer_per_key(t, key=self.key, lsn_col=self.lsn_col)
-        t = t.sort_by(self.key)
-        if not include_tombstones:
-            t = drop_tombstones(t, self.op_col)
-            t = t.drop_columns([c for c in META_COLS if c in t.column_names])
-        return t
+        fold = self._fold_partition_fn(m.get("schema"), include_tombstones)
+        return fold(pa.Table.from_pylist([descs[pid]])).sort_by(self.key)
 
     def live_rows(self) -> int:
         """Exact live-row count. Free when every partition is compacted
         (manifest metadata); otherwise one merge-on-read counting scan."""
         m = self.manifest()
         ents = m["partitions"].values()
-        if all(ent.get("live_rows") is not None for ent in ents):
+        if not m.get("l0") and ents and all(
+            ent.get("live_rows") is not None for ent in ents
+        ):
             return sum(ent["live_rows"] for ent in ents)
+        if not ents and not m.get("l0"):
+            return 0
         return self.read().count()
 
     # ------------------------------------------------------------ apply
@@ -343,6 +387,8 @@ class LakeTable:
         compact_deltas = self.compact_deltas
         epoch_rel = f"state/e{epoch:06d}"
         os.makedirs(os.path.join(lake_path, epoch_rel), exist_ok=True)
+        if self.commit_mode == "l0":
+            return self._apply_l0(m, new_names, events_ds, epoch, epoch_rel, batch_size)
         part_entries = {
             int(k): _part_files(v) for k, v in m["partitions"].items()
         }  # pid -> (base, deltas)
@@ -471,12 +517,115 @@ class LakeTable:
         _atomic_write_json(self.manifest_path, m2)
         return m2["history"][-1]
 
+    def _apply_l0(self, m: dict, new_names: list[str], events_ds, epoch: int,
+                  epoch_rel: str, batch_size: int) -> dict:
+        """Shuffle-free epoch commit: one map-only pass folds each input
+        block per key, stamps + sorts by bucket, and writes ONE run file
+        per block with ~P row groups (so partition reads prune via
+        parquet statistics). File names are content-derived → a retried
+        task rewrites the identical file (exactly-once preserved; the
+        manifest swap stays the only commit point)."""
+        import hashlib
+
+        P = m["num_partitions"]
+        key, lsn_col = self.key, self.lsn_col
+        lake_path = self.path
+        t0 = time.time()
+
+        def write_run(t: pa.Table) -> pa.Table:
+            from raycdc.util import tune_allocators
+
+            tune_allocators()
+            empty = pa.table(
+                {
+                    "file": pa.array([], pa.string()),
+                    "rows": pa.array([], pa.int64()),
+                    "watermark": pa.array([], pa.int64()),
+                    "schema": pa.array([], pa.string()),
+                }
+            )
+            if t.num_rows == 0:
+                return empty
+            t = last_writer_per_key(t, key=key, lsn_col=lsn_col)
+            t = t.append_column("_bucket", pa.array(bucket_of(t.column(key), P)))
+            idx = pc.sort_indices(t, sort_keys=[("_bucket", "ascending"), (key, "ascending")])
+            t = t.take(idx)
+            lsns = np.asarray(t.column(lsn_col).combine_chunks().cast(pa.int64()))
+            # content-derived name: (lsn stream ⊕ key hashes) — a retried
+            # task rewrites the identical file; distinct blocks (even with
+            # identical lsn columns, e.g. a lsn=-1 base seed) get distinct
+            # names because the key hashes differ
+            from raycdc.util import str_hash_u64
+
+            kh = str_hash_u64(t.column(key))
+            digest = hashlib.md5(lsns.tobytes() + kh.tobytes()).hexdigest()[:16]
+            rel = f"{epoch_rel}/l0-{digest}.parquet"
+            rg = max(2048, -(-t.num_rows // P))  # ≈ one row group per partition
+            tmp = os.path.join(lake_path, rel) + f".tmp.{uuid.uuid4().hex[:8]}"
+            pq.write_table(t, tmp, row_group_size=rg)
+            fd = os.open(tmp, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            os.replace(tmp, os.path.join(lake_path, rel))
+            _fsync_dir(os.path.join(lake_path, rel))
+            wm = int(lsns.max()) if len(lsns) else -1
+            sch = schema_to_str(t.drop_columns(["_bucket"]).schema)
+            return pa.table(
+                {
+                    "file": pa.array([rel]),
+                    "rows": pa.array([t.num_rows], type=pa.int64()),
+                    "watermark": pa.array([wm], type=pa.int64()),
+                    "schema": pa.array([sch]),
+                }
+            )
+
+        stats_rows = events_ds.map_batches(
+            write_run, batch_format="pyarrow", batch_size=None
+        ).take_all()
+
+        schemas = [schema_from_str(r["schema"]) for r in stats_rows]
+        if m.get("schema"):
+            schemas.append(schema_from_str(m["schema"]))
+        cur = self.manifest()
+        if cur["epoch"] != m["epoch"]:
+            raise ConcurrentWriterError(
+                f"manifest advanced from epoch {m['epoch']} to {cur['epoch']} during apply"
+            )
+        m2 = dict(m)
+        if schemas:
+            m2["schema"] = schema_to_str(unify(schemas))
+        m2["epoch"] = epoch
+        m2["segments_applied"] = list(m["segments_applied"]) + list(new_names)
+        m2["l0"] = list(m.get("l0", [])) + [
+            {"file": r["file"], "rows": int(r["rows"]), "watermark": int(r["watermark"])}
+            for r in stats_rows
+        ]
+        m2["history"] = list(m.get("history", [])) + [
+            {
+                "epoch": epoch,
+                "segments": list(new_names),
+                "l0_runs": len(stats_rows),
+                "events_after_reduce": sum(int(r["rows"]) for r in stats_rows),
+                "wall_sec": round(time.time() - t0, 3),
+            }
+        ]
+        _atomic_write_json(self.manifest_path, m2)
+        result = m2["history"][-1]
+        if len(m2["l0"]) > self.l0_compact_files:
+            # bound merge-on-read fan-in: fold pending runs into bases
+            # (Ray-parallel, storage-pruned reads — still no shuffle)
+            self._compact_locked(self.manifest(), drop_tombs=False)
+            result = dict(result, auto_compacted=True)
+        return result
+
     # ------------------------------------------------------------ maintenance
     def vacuum(self, keep_epochs: int = 1) -> list[str]:
         """Delete state files of epochs older than the newest
         ``keep_epochs`` that are not referenced by the manifest."""
         m = self.manifest()
-        referenced = set()
+        referenced = {e["file"] for e in m.get("l0", [])}
         for ent in m["partitions"].values():
             base, deltas = _part_files(ent)
             if base:
@@ -499,71 +648,76 @@ class LakeTable:
         return removed
 
     def compact(self, drop_tombs: bool = False) -> int:
-        """Full compaction (Ray-parallel): every partition's base+deltas
-        fold into a fresh base file; optionally drop tombstones (safe
-        once upstream segments can no longer be replayed). Writes a new
-        epoch. Returns the number of tombstones dropped."""
+        """Full compaction (Ray-parallel): every partition's base +
+        deltas + pending L0 runs fold into a fresh base file; optionally
+        drop tombstones (safe once upstream segments can no longer be
+        replayed). Writes a new epoch. Returns tombstones dropped."""
         with _WriterLock(self.path):
-            m = self.manifest()
-            epoch = m["epoch"] + 1
-            epoch_rel = f"state/e{epoch:06d}"
-            os.makedirs(os.path.join(self.path, epoch_rel), exist_ok=True)
-            descs = self._descriptors(m)
-            if not descs:
-                return 0
-            key, op_col = self.key, self.op_col
-            lake_path = self.path
-            fold = self._fold_partition_fn(m.get("schema"), include_tombstones=True)
+            return self._compact_locked(self.manifest(), drop_tombs)
 
-            def compact_one(batch: pa.Table) -> pa.Table:
-                rows = []
-                for i in range(batch.num_rows):
-                    one = batch.slice(i, 1)
-                    t = fold(one).sort_by(key)
-                    live_t = drop_tombstones(t, op_col)
-                    dropped = t.num_rows - live_t.num_rows
-                    if drop_tombs:
-                        t = live_t
-                    pid = int(one["pid"][0].as_py())
-                    rel = f"{epoch_rel}/part-{pid:05d}.parquet"
-                    _atomic_write_parquet(os.path.join(lake_path, rel), t)
-                    rows.append(
-                        {
-                            "pid": pid,
-                            "file": rel,
-                            "rows": t.num_rows,
-                            "live_rows": live_t.num_rows,
-                            "dropped": dropped if drop_tombs else 0,
-                        }
-                    )
-                return pa.Table.from_pylist(rows)
+    def _compact_locked(self, m: dict, drop_tombs: bool = False) -> int:
+        epoch = m["epoch"] + 1
+        epoch_rel = f"state/e{epoch:06d}"
+        os.makedirs(os.path.join(self.path, epoch_rel), exist_ok=True)
+        descs = self._descriptors(m)
+        if not descs:
+            return 0
+        key, lsn_col, op_col = self.key, self.lsn_col, self.op_col
+        lake_path = self.path
+        fold = self._fold_partition_fn(m.get("schema"), include_tombstones=True)
 
-            stats = (
-                ray.data.from_items(descs, override_num_blocks=len(descs))
-                .map_batches(compact_one, batch_format="pyarrow")
-                .take_all()
-            )
-            cur = self.manifest()
-            if cur["epoch"] != m["epoch"]:
-                raise ConcurrentWriterError("manifest advanced during compaction")
-            partitions = {k: dict(v) for k, v in m["partitions"].items()}
-            dropped_total = 0
-            for r in stats:
-                old = partitions.get(str(r["pid"]), {})
-                partitions[str(r["pid"])] = {
-                    "base": r["file"],
-                    "deltas": [],
-                    "rows": int(r["rows"]),
-                    "live_rows": int(r["live_rows"]),
-                    "watermark": int(old.get("watermark", -1)),
-                }
-                dropped_total += int(r["dropped"])
-            m2 = {**m, "epoch": epoch, "partitions": partitions}
-            m2["history"] = list(m.get("history", [])) + [
-                {"epoch": epoch, "compaction": True, "tombstones_dropped": dropped_total}
-            ]
-            _atomic_write_json(self.manifest_path, m2)
-            return dropped_total
+        def compact_one(batch: pa.Table) -> pa.Table:
+            rows = []
+            for i in range(batch.num_rows):
+                one = batch.slice(i, 1)
+                t = fold(one).sort_by(key)
+                live_t = drop_tombstones(t, op_col)
+                dropped = t.num_rows - live_t.num_rows
+                if drop_tombs:
+                    t = live_t
+                pid = int(one["pid"][0].as_py())
+                rel = f"{epoch_rel}/part-{pid:05d}.parquet"
+                _atomic_write_parquet(os.path.join(lake_path, rel), t)
+                wm = pc.max(t[lsn_col]).as_py() if t.num_rows and lsn_col in t.column_names else None
+                rows.append(
+                    {
+                        "pid": pid,
+                        "file": rel,
+                        "rows": t.num_rows,
+                        "live_rows": live_t.num_rows,
+                        "watermark": -1 if wm is None else int(wm),
+                        "dropped": dropped if drop_tombs else 0,
+                    }
+                )
+            return pa.Table.from_pylist(rows)
+
+        stats = (
+            ray.data.from_items(descs, override_num_blocks=len(descs))
+            .map_batches(compact_one, batch_format="pyarrow")
+            .take_all()
+        )
+        cur = self.manifest()
+        if cur["epoch"] != m["epoch"]:
+            raise ConcurrentWriterError("manifest advanced during compaction")
+        partitions = {k: dict(v) for k, v in m["partitions"].items()}
+        dropped_total = 0
+        for r in stats:
+            old = partitions.get(str(r["pid"]), {})
+            partitions[str(r["pid"])] = {
+                "base": r["file"],
+                "deltas": [],
+                "rows": int(r["rows"]),
+                "live_rows": int(r["live_rows"]),
+                "watermark": max(int(r["watermark"]), int(old.get("watermark", -1))),
+            }
+            dropped_total += int(r["dropped"])
+        # compaction folds every pending L0 run into the bases → clear L0
+        m2 = {**m, "epoch": epoch, "partitions": partitions, "l0": []}
+        m2["history"] = list(m.get("history", [])) + [
+            {"epoch": epoch, "compaction": True, "tombstones_dropped": dropped_total}
+        ]
+        _atomic_write_json(self.manifest_path, m2)
+        return dropped_total
 
     def compact_tombstones(self) -> int:
         """Drop tombstones from state files (safe once upstream segments

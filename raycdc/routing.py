@@ -119,6 +119,9 @@ def make_validator(dead_letter_dir: str | None = None):
         os.makedirs(dead_letter_dir, exist_ok=True)
 
     def validate_divert(batch: pa.Table) -> pa.Table:
+        from raycdc.util import tune_allocators
+
+        tune_allocators()
         stamped = stamp_route(batch)
         routes = stamped[ROUTE_COL]
         ok_mask = pc.equal(routes, ROUTE_OK)

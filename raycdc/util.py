@@ -22,6 +22,27 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+_ALLOC_TUNED = False
+
+
+def tune_allocators(decay_ms: int = 10_000) -> None:
+    """Per-worker allocator tuning for hosts with pathological first-touch
+    page-population cost (see BASELINE.md): tell Arrow's jemalloc pool to
+    KEEP freed pages for ``decay_ms`` instead of returning them to the OS
+    (each return forces a slow re-fault on the next allocation). Idempotent
+    and safe to call at the top of any hot batch fn — it runs once per
+    worker process. Pair with ``MALLOC_MMAP_THRESHOLD_`` (env, set before
+    worker spawn) for glibc/numpy allocations."""
+    global _ALLOC_TUNED
+    if _ALLOC_TUNED:
+        return
+    try:
+        pa.jemalloc_set_decay_ms(decay_ms)
+    except (ImportError, NotImplementedError, AttributeError):
+        pass
+    _ALLOC_TUNED = True
+
+
 _SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
 _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
 _MIX2 = np.uint64(0x94D049BB133111EB)

@@ -45,9 +45,11 @@ def collect(ds) -> pa.Table:
     return pa.concat_tables(batches, promote_options="permissive") if batches else pa.table({})
 
 
-@pytest.fixture()
-def lake(tmp_path):
-    lk = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+@pytest.fixture(params=["shuffle", "l0"])
+def lake(tmp_path, request):
+    """Every core lake test runs under BOTH commit modes: per-partition
+    delta shuffling and shuffle-free L0 runs (merge-on-read)."""
+    lk = LakeTable(str(tmp_path / "lake"), num_partitions=8, commit_mode=request.param)
     lk.init()
     return lk
 
@@ -357,3 +359,25 @@ def test_vacuum_removes_unreferenced_epochs(lake, tmp_path):
     assert removed and after == before - len(removed)
     # the referenced (current) files all survive and the table still reads
     assert collect(lake.read()).num_rows > 0
+
+
+def test_l0_auto_compaction_bounds_fan_in(tmp_path):
+    """L0 mode: pending run files trigger an auto-compaction that folds
+    them into per-partition bases (manifest l0 clears), and the folded
+    state still matches the oracle."""
+    lk = LakeTable(str(tmp_path / "lake"), num_partitions=4, commit_mode="l0",
+                   l0_compact_files=3)
+    lk.init()
+    base, log_dir, all_events = make_log(tmp_path, seed=47, n_segments=5)
+    seeded_lake(lk, base)
+    res = tail_until_caught_up(lk, log_dir, max_segments_per_epoch=1, batch_size=256)
+    assert len(res) == 5
+    assert any(r.get("auto_compacted") for r in res)
+    m = lk.manifest()
+    assert len(m["l0"]) <= 3 + 5  # bounded fan-in (epochs since last compaction)
+    assert any(ent.get("base") for ent in m["partitions"].values())
+    assert_eq(collect(lk.read()), fold_events(base, all_events))
+    # explicit compaction clears every pending run
+    lk.compact()
+    assert lk.manifest()["l0"] == []
+    assert_eq(collect(lk.read()), fold_events(base, all_events))
