@@ -290,6 +290,26 @@ def q_simhash_near_dup(sf_dir: str):
     return simhash_near_dup(_docs(sf_dir), max_hamming=3)
 
 
+def q_top_docs_by_chars(sf_dir: str):
+    """Global top-k (combiner shape: per-batch prune → tiny global
+    sort-limit): the 10 longest documents."""
+    from raycdc.ops import top_k
+
+    out = top_k(_docs(sf_dir), "n_chars", 10, descending=True, tiebreak="doc_id")
+    return out.map_batches(lambda t: t.select(["doc_id", "n_chars"]), batch_format="pyarrow")
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k (ONE bounded bucket shuffle + vectorized in-bucket
+    per-group head): the 2 longest documents per language."""
+    from raycdc.ops import top_k
+
+    out = top_k(_docs(sf_dir), "n_chars", 2, descending=True, tiebreak="doc_id", per="lang")
+    return out.map_batches(
+        lambda t: t.select(["lang", "doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+
+
 def q_join_orders_nation(sf_dir: str):
     """Distributed hash join (both sides large — no broadcast): orders ⋈
     customer on custkey via ops.hash_join (one bounded bucket shuffle +
@@ -747,6 +767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pseudo_identity": q_pseudo_identity,
         "q1_lineitem": q_q1_lineitem,
         "join_orders_nation": q_join_orders_nation,
+        "top_docs_by_chars": q_top_docs_by_chars,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_rows": q_dedup_exact_rows,
         "simhash_near_dup": q_simhash_near_dup,
@@ -903,6 +925,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_docs_by_chars": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 10
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 2
         """,
         "join_orders_nation": """
             SELECT n.n_name,

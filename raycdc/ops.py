@@ -126,6 +126,69 @@ def broadcast_lookup(
     return ds.map_batches(Lookup, batch_format="pyarrow", batch_size=batch_size, concurrency=2)
 
 
+def top_k(
+    ds: ray.data.Dataset,
+    by: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    per: str | None = None,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Top-k rows by ``by`` (ties broken by ``tiebreak`` ascending).
+
+    * global (``per=None``): per-batch local prune to k candidates (only
+      k × n_batches rows ever leave a batch), then a tiny global
+      sort+limit — the combiner shape.
+    * grouped (``per=<col>``): top-k PER group via ONE bounded
+      hash-bucket shuffle on the group key and a vectorized in-bucket
+      sort + per-group head (never one groupby group per key).
+    """
+    order = [(by, "descending" if descending else "ascending")]
+    if tiebreak:
+        order.append((tiebreak, "ascending"))
+
+    if per is None:
+
+        def prune(t: pa.Table) -> pa.Table:
+            if t.num_rows <= k:
+                return t
+            return t.take(pc.sort_indices(t, sort_keys=order)[:k])
+
+        pruned = ds.map_batches(prune, batch_format="pyarrow", batch_size=batch_size)
+        keys = [by] + ([tiebreak] if tiebreak else [])
+        desc = [descending] + ([False] if tiebreak else [])
+        return pruned.sort(keys, descending=desc).limit(k)
+
+    from raycdc.util import bucket_of
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(per), num_buckets)))
+
+    def head_per_group(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[(per, "ascending"), *order])
+        g = g.take(idx)
+        grp = g.column(per).combine_chunks()
+        n = g.num_rows
+        new_grp = np.ones(n, dtype=bool)
+        if n > 1:
+            new_grp[1:] = np.asarray(
+                pc.not_equal(grp.slice(1), grp.slice(0, n - 1)).fill_null(True)
+            )
+        # rank within group = index - start-of-run (vectorized cumcount)
+        starts = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+        rank = np.arange(n) - starts
+        return g.filter(pa.array(rank < k))
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(head_per_group, batch_format="pyarrow")
+    )
+
+
 def deterministic_sample(
     ds: ray.data.Dataset,
     key: str,

@@ -192,3 +192,29 @@ def test_hash_join_inner_and_left():
 
 def collect_rows(ds):
     return ds.take_all()
+
+
+def test_top_k_global_and_grouped():
+    from raycdc.ops import top_k
+
+    rng = np.random.default_rng(9)
+    t = pa.table({
+        "id": pa.array(range(500), pa.int64()),
+        "grp": pa.array(rng.integers(0, 7, 500), pa.int64()),
+        "score": pa.array(rng.integers(0, 100, 500), pa.int64()),
+    })
+    got = top_k(rd.from_arrow(t).repartition(5), "score", 5,
+                tiebreak="id").take_all()
+    import pandas as pd
+
+    df = t.to_pandas().sort_values(["score", "id"], ascending=[False, True])
+    assert [(r["id"], r["score"]) for r in got] == \
+        list(zip(df["id"].head(5), df["score"].head(5)))
+
+    per = top_k(rd.from_arrow(t).repartition(5), "score", 3, tiebreak="id",
+                per="grp", num_buckets=4).take_all()
+    want = (df.sort_values(["grp", "score", "id"], ascending=[True, False, True])
+              .groupby("grp").head(3))
+    got_set = {(r["grp"], r["id"]) for r in per}
+    assert got_set == set(zip(want["grp"], want["id"]))
+    assert len(per) == len(want)
