@@ -33,10 +33,18 @@ def test_schema_roundtrip_serialization():
     assert schema_from_str(schema_to_str(s)).equals(s)
 
 
-def test_lake_schema_evolution_add_column(tmp_path):
+import pytest
+
+
+@pytest.fixture(params=["shuffle", "l0"])
+def commit_mode(request):
+    return request.param
+
+
+def test_lake_schema_evolution_add_column(tmp_path, commit_mode):
     """Events gain a `lang` column mid-stream: older state rows backfill
     with nulls; the manifest schema evolves; read() is uniform."""
-    lk = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lk = LakeTable(str(tmp_path / "lake"), num_partitions=4, commit_mode=commit_mode)
     lk.init()
     base = base_table(50, seed=2, min_len=4, max_len=8)
     lk.apply(base_as_inserts(rd.from_arrow(base)), ["__base__"], batch_size=64)
@@ -76,8 +84,8 @@ def test_lake_schema_evolution_add_column(tmp_path):
     assert by_id2["doc-new-x"]["lang"] == "en"
 
 
-def test_lake_schema_evolution_widen(tmp_path):
-    lk = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+def test_lake_schema_evolution_widen(tmp_path, commit_mode):
+    lk = LakeTable(str(tmp_path / "lake"), num_partitions=2, commit_mode=commit_mode)
     lk.init()
     base = base_table(10, seed=4, min_len=4, max_len=8)
     lk.apply(base_as_inserts(rd.from_arrow(base)), ["__base__"], batch_size=64)
