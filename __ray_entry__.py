@@ -645,12 +645,13 @@ def q_embedding_cosine_pairs(sf_dir: str):
 
 
 def q_embedding_near_dup_lsh(sf_dir: str):
-    """The scale path: random-hyperplane LSH bucketing before in-bucket
-    verification (recall < 1 by design → rows-only check)."""
+    """The scale path: multi-table random-hyperplane LSH bucketing
+    before in-bucket verification (recall 1-(1-p)^T, < 1 by design →
+    rows-only check)."""
     from raycdc.extras.dedup import embedding_near_dup
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_near_dup(ds, threshold=0.40, n_planes=4)
+    return embedding_near_dup(ds, threshold=0.40, n_planes=4, n_tables=3)
 
 
 def q_minhash_near_dup(sf_dir: str):

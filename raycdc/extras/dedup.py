@@ -450,19 +450,24 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 1,
     seed: int = 42,
     max_bucket: int = 8192,
 ) -> ray.data.Dataset:
     """Cosine near-dup via random-hyperplane LSH bucketing + in-bucket
-    verification. Pairs missed by bucketing are the LSH recall tradeoff
-    (documented); n_planes=0 degenerates to one bucket = exact O(n²)."""
+    verification. Pairs missed by bucketing are the LSH recall tradeoff;
+    ``n_tables > 1`` runs multiple independent hash tables (multi-probe:
+    a pair collides if ANY table agrees — recall 1-(1-p)^T at T× the
+    bucket shuffle, still never all-pairs). ``n_planes=0`` degenerates
+    to one bucket = exact O(n²)."""
     if n_planes > 30:
         raise ValueError("n_planes must be <= 30 (bucket is an int32 bitmask)")
 
     class Bucketize:
-        """Actor stage: the hyperplane matrix is drawn ONCE per actor in
+        """Actor stage: hyperplane matrices are drawn ONCE per actor in
         __init__ (seeded — identical planes on every actor), not per
-        batch (the setup-in-__call__ anti-pattern)."""
+        batch (the setup-in-__call__ anti-pattern). Emits one row per
+        (vector, table)."""
 
         def __init__(self):
             self.planes = None  # lazily sized from the first batch's dim
@@ -470,16 +475,26 @@ def embedding_near_dup(
         def __call__(self, t: pa.Table) -> pa.Table:
             emb = t[emb_col].combine_chunks()
             mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
-            if n_planes:
-                if self.planes is None or self.planes.shape[0] != mat.shape[1]:
-                    self.planes = np.random.default_rng(seed).standard_normal(
+            if not n_planes:
+                bucket = np.zeros(len(emb), dtype=np.int32)
+                return t.append_column("_table", pa.array(np.zeros(len(emb), np.int32))) \
+                        .append_column("_bucket", pa.array(bucket))
+            if self.planes is None or self.planes[0].shape[0] != mat.shape[1]:
+                self.planes = [
+                    np.random.default_rng(seed + 7919 * ti).standard_normal(
                         (mat.shape[1], n_planes)
                     )
-                sig = (mat @ self.planes > 0).astype(np.int64)
+                    for ti in range(n_tables)
+                ]
+            outs = []
+            for ti, planes in enumerate(self.planes):
+                sig = (mat @ planes > 0).astype(np.int64)
                 bucket = (sig @ (1 << np.arange(n_planes, dtype=np.int64))).astype(np.int32)
-            else:
-                bucket = np.zeros(len(emb), dtype=np.int32)
-            return t.append_column("_bucket", pa.array(bucket))
+                outs.append(
+                    t.append_column("_table", pa.array(np.full(len(emb), ti, np.int32)))
+                    .append_column("_bucket", pa.array(bucket))
+                )
+            return pa.concat_tables(outs)
 
     def pairs(g: pa.Table) -> pa.Table:
         id_type = g.schema.field(id_col).type
@@ -488,7 +503,9 @@ def embedding_near_dup(
         ids = np.asarray(g[id_col].to_pylist(), dtype=object)
         order = np.argsort(ids, kind="stable")
         ids, mat = ids[order], mat[order]
-        if len(ids) > max_bucket:  # degenerate-bucket guardrail
+        # drop same-bucket duplicates of one id (possible when a vector
+        # repeats); degenerate-bucket guardrail caps the O(b²) verify
+        if len(ids) > max_bucket:
             ids, mat = ids[:max_bucket], mat[:max_bucket]
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1
@@ -504,11 +521,14 @@ def embedding_near_dup(
             }
         )
 
-    return (
+    cand = (
         ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
-        .groupby("_bucket")
+        .groupby(["_table", "_bucket"])
         .map_groups(pairs, batch_format="pyarrow")
     )
+    if n_tables <= 1:
+        return cand  # distinct buckets can't emit duplicate pairs
+    return _dedup_pair_rows(cand)
 
 
 # ------------------------------------------------------------ ngram jaccard

@@ -329,3 +329,19 @@ def test_pack_sequences_preserves_tokens_and_counts_docs():
     # drop_remainder drops the partial row
     out2 = collect(pack_sequences(rd.from_arrow(t), 100, eos_token=-1, drop_remainder=True))
     assert out2.num_rows == 4 and all(r["n_tok"] == 100 for r in out2.to_pylist())
+
+
+def test_embedding_near_dup_multi_table_recall():
+    """Multi-table LSH recall ⊇ single table: every pair one table finds
+    is found with T tables, and the pair set contains the planted dup."""
+    ds = rd.from_arrow(emb_table(n=60))
+    one = {(r["id_a"], r["id_b"])
+           for r in collect(embedding_near_dup(ds, threshold=0.9, n_planes=6)).to_pylist()}
+    multi = {(r["id_a"], r["id_b"])
+             for r in collect(embedding_near_dup(ds, threshold=0.9, n_planes=6,
+                                                 n_tables=4)).to_pylist()}
+    assert (0, 1) in multi
+    assert one <= multi  # multi-probe can only add recall
+    # no duplicate pairs despite multiple tables agreeing
+    rows = collect(embedding_near_dup(ds, threshold=0.9, n_planes=6, n_tables=4))
+    assert rows.num_rows == len(multi)
