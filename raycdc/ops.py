@@ -174,8 +174,12 @@ def top_k(
         n = g.num_rows
         new_grp = np.ones(n, dtype=bool)
         if n > 1:
+            a, b = grp.slice(1), grp.slice(0, n - 1)
+            # consecutive NULL keys are ONE group (SQL PARTITION BY puts all
+            # NULLs in a single partition); null-vs-value is a boundary
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
             new_grp[1:] = np.asarray(
-                pc.not_equal(grp.slice(1), grp.slice(0, n - 1)).fill_null(True)
+                pc.if_else(both_null, False, pc.not_equal(a, b).fill_null(True))
             )
         # rank within group = index - start-of-run (vectorized cumcount)
         starts = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
@@ -292,6 +296,14 @@ def hash_join(
         side = np.asarray(g["_side"])
         lt = g.filter(pa.array(side == 0)).select([key, *left_only]).combine_chunks()
         rt = g.filter(pa.array(side == 1)).select([key, *rcols_out]).combine_chunks()
+        # SQL `JOIN ON =` semantics: NULL keys never match (pandas merge
+        # would pair NaN with NaN). Dropping right-side null keys suffices:
+        # inner then drops unmatched left nulls; 'left' passes them through
+        # with a null right side — exactly the oracle's behavior.
+        if rt.column(key).null_count:
+            rt = rt.filter(pc.is_valid(rt.column(key)))
+        if how == "inner" and lt.column(key).null_count:
+            lt = lt.filter(pc.is_valid(lt.column(key)))
         # pandas merges only the (key, position) mapping — payload columns
         # are gathered by Arrow take (null indices emit nulls on 'left')
         m = pd.merge(

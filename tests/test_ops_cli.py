@@ -190,6 +190,24 @@ def test_hash_join_inner_and_left():
     assert all(r["payload"] is not None for r in lj)  # left payload survives
 
 
+def test_hash_join_null_keys_never_match():
+    """SQL `JOIN ON =` semantics: NULL keys match nothing (pandas would
+    pair NaN with NaN)."""
+    from raycdc.ops import hash_join
+
+    left = pa.table({"k": pa.array([1, None, 2, None], pa.int64()),
+                     "lv": ["a", "b", "c", "d"]})
+    right = pa.table({"k": pa.array([1, None, 9], pa.int64()),
+                      "rv": ["R1", "Rnull", "R9"]})
+    inner = collect_rows(hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                                   "k", how="inner", num_buckets=4))
+    assert [(r["k"], r["lv"], r["rv"]) for r in inner] == [(1, "a", "R1")]
+    lj = collect_rows(hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                                "k", how="left", num_buckets=4))
+    assert sorted((r["lv"], r["rv"] or "-") for r in lj) == [
+        ("a", "R1"), ("b", "-"), ("c", "-"), ("d", "-")]
+
+
 def collect_rows(ds):
     return ds.take_all()
 
@@ -218,3 +236,22 @@ def test_top_k_global_and_grouped():
     got_set = {(r["grp"], r["id"]) for r in per}
     assert got_set == set(zip(want["grp"], want["id"]))
     assert len(per) == len(want)
+
+
+def test_top_k_grouped_null_keys_one_group():
+    """All NULL group keys form ONE partition (SQL PARTITION BY), not a
+    group per row."""
+    from raycdc.ops import top_k
+
+    t = pa.table({
+        "id": pa.array(range(8), pa.int64()),
+        "grp": pa.array([None, None, None, None, "a", "a", "b", None], pa.string()),
+        "score": pa.array([5, 9, 7, 1, 3, 8, 2, 6], pa.int64()),
+    })
+    per = top_k(rd.from_arrow(t).repartition(3), "score", 2, tiebreak="id",
+                per="grp", num_buckets=4).take_all()
+    by_grp = {}
+    for r in per:
+        by_grp.setdefault(r["grp"], set()).add(r["id"])
+    assert by_grp[None] == {1, 2}  # top-2 of the single NULL group (scores 9, 7)
+    assert by_grp["a"] == {4, 5} and by_grp["b"] == {6}
