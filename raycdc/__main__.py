@@ -162,7 +162,10 @@ def main(argv=None) -> int:
     if args.cmd == "status":
         m = lk.manifest()
         ents = list(m["partitions"].values())
-        exact = all(pt.get("live_rows") is not None for pt in ents)
+        # exact only when NO pending L0 runs AND every partition count is
+        # known — mirrors LakeTable.live_rows() (pending runs hold rows the
+        # partition counters haven't seen yet)
+        exact = not m.get("l0") and all(pt.get("live_rows") is not None for pt in ents)
         if args.exact and not exact:
             _ray_up(args.num_cpus)
             live, exact = lk.live_rows(), True
@@ -174,9 +177,10 @@ def main(argv=None) -> int:
                     "epoch": m["epoch"],
                     "partitions": m["num_partitions"],
                     "segments_applied": len(m["segments_applied"]),
-                    "live_rows": live,  # None ⇒ deltas pending (use --exact)
+                    "live_rows": live,  # None ⇒ deltas/L0 runs pending (use --exact)
                     "state_rows": sum(int(pt.get("rows", 0)) for pt in ents),
                     "pending_deltas": sum(len(pt.get("deltas", [])) for pt in ents),
+                    "pending_l0_runs": len(m.get("l0", [])),
                     "last_history": (m.get("history") or [None])[-1],
                 }
             )

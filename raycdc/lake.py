@@ -47,12 +47,13 @@ the LWW fold against the tombstone instead of resurrecting a deleted
 row. ``read()`` filters tombstones out; ``compact_tombstones`` drops
 them permanently once upstream segments can no longer be replayed.
 
-Concurrency: a writer lock file (O_EXCL) is held for the duration of
-``apply``/compaction and the manifest epoch is re-checked immediately
-before the swap (CAS) — two concurrent writers cannot silently discard
-each other's committed epochs. Locks from dead processes are broken by
-pid-liveness (single-host check; on a shared filesystem at cluster
-scale this becomes a lease, which the manifest CAS still backstops).
+Concurrency: a writer lease lock (O_EXCL file carrying pid+host+lease
+deadline) is held for the duration of ``apply``/compaction and the
+manifest epoch is re-checked immediately before the swap (CAS) — two
+concurrent writers cannot silently discard each other's committed
+epochs. Stale locks are broken only on same-host crash evidence or
+lease expiry (the shared-filesystem case), via an atomic rename so two
+waiters can never double-break (see ``_WriterLock``).
 
 Scale: ``num_partitions`` bounds per-task state (O(total rows / P));
 output is partitioned parquet so a failed run resumes by skipping
@@ -125,6 +126,12 @@ def _pid_alive(pid: int) -> bool:
         return True
 
 
+def _host() -> str:
+    import socket
+
+    return socket.gethostname()
+
+
 def _part_files(ent: dict) -> tuple[str | None, list[str]]:
     """(base, deltas) of a manifest partition entry; understands the v1
     single-file layout (``{"file": ...}``) for old manifests."""
@@ -138,37 +145,95 @@ class ConcurrentWriterError(RuntimeError):
 
 
 class _WriterLock:
-    """O_EXCL lock file held across an apply/compact; breaks locks whose
-    owner pid is dead (crashed writer)."""
+    """O_EXCL lease lock held across an apply/compact.
 
-    def __init__(self, lake_path: str):
+    Lock content is ``pid host lease_deadline`` so staleness has two
+    independent detectors:
+
+    * **same host + owner pid dead** — crash evidence; break immediately;
+    * **lease expired** — the only valid evidence on a *shared
+      filesystem*, where a pid probe says nothing about a remote writer
+      (a live remote writer's lock must NOT be broken before its lease
+      runs out — writers must finish or re-acquire within ``lease_s``).
+
+    The break itself is race-free: the breaker atomically *renames* the
+    lock to a private name (only one waiter can win the rename), re-reads
+    the renamed file, and — if it captured a FRESHER lock than the one it
+    judged stale — restores it with a non-clobbering ``os.link``. Two
+    waiters can never double-break, and nobody can unlink a live writer's
+    lock (the round-2 remove()-race; the manifest epoch CAS remains the
+    corruption backstop either way)."""
+
+    def __init__(self, lake_path: str, lease_s: float = 600.0):
         self.path = os.path.join(lake_path, WRITER_LOCK)
+        self.lease_s = lease_s
         self._held = False
 
+    def _read(self) -> tuple[str, int, str, float] | None:
+        """(raw, pid, host, deadline) or None if the lock vanished."""
+        try:
+            raw = open(self.path).read()
+        except OSError:
+            return None
+        parts = raw.split()
+        try:
+            pid = int(parts[0])
+        except (ValueError, IndexError):
+            return raw, -1, "?", 0.0  # unreadable → expired lease
+        if len(parts) >= 3:  # v3: pid host deadline
+            try:
+                return raw, pid, parts[1], float(parts[2])
+            except ValueError:
+                return raw, pid, parts[1], 0.0
+        # v2 legacy "pid acquire_ts": deadline = acquire + default lease
+        try:
+            return raw, pid, _host(), float(parts[1]) + self.lease_s
+        except (ValueError, IndexError):
+            return raw, pid, _host(), 0.0
+
     def __enter__(self):
-        for attempt in (0, 1):
+        me = _host()
+        for attempt in range(6):
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time():.0f}".encode())
+                os.write(fd, f"{os.getpid()} {me} {time.time() + self.lease_s:.3f}".encode())
                 os.close(fd)
                 self._held = True
                 return self
             except FileExistsError:
+                info = self._read()
+                if info is None:
+                    continue  # holder released between create and read — retry
+                raw, pid, host, deadline = info
+                if host == me and pid > 0:
+                    # the local pid probe is authoritative on this host: a
+                    # dead owner is stale NOW; a live owner is never broken
+                    # (even past its lease — a slow local writer is visible)
+                    stale = not _pid_alive(pid)
+                else:
+                    # remote/unreadable owner: only lease expiry is evidence
+                    stale = time.time() > deadline
+                if not stale or attempt >= 4:
+                    raise ConcurrentWriterError(
+                        f"lake is locked by live writer pid={pid}@{host} "
+                        f"(lease deadline {deadline:.0f}, {self.path}); "
+                        "LakeTable requires a single writer at a time"
+                    )
+                priv = f"{self.path}.stale.{uuid.uuid4().hex[:8]}"
                 try:
-                    owner = int(open(self.path).read().split()[0])
-                except (OSError, ValueError, IndexError):
-                    owner = -1
-                if attempt == 0 and (owner == -1 or not _pid_alive(owner)):
-                    # stale lock from a crashed writer — break and retry once
+                    os.rename(self.path, priv)
+                except FileNotFoundError:
+                    continue  # another waiter already broke it
+                if open(priv).read() != raw:
+                    # we renamed a lock fresher than the one judged stale —
+                    # restore it without clobbering any newer lock
                     try:
-                        os.remove(self.path)
-                    except FileNotFoundError:
+                        os.link(priv, self.path)
+                    except FileExistsError:
                         pass
+                    os.remove(priv)
                     continue
-                raise ConcurrentWriterError(
-                    f"lake is locked by live writer pid={owner} ({self.path}); "
-                    "LakeTable requires a single writer at a time"
-                )
+                os.remove(priv)  # stale lock broken — loop back to acquire
 
     def __exit__(self, *exc):
         if self._held:
@@ -194,6 +259,7 @@ class LakeTable:
         compact_deltas: int = 4,
         commit_mode: str = "shuffle",
         l0_compact_files: int = 24,
+        lock_lease_s: float = 600.0,
     ):
         """``commit_mode`` picks the ingest/merge trade:
 
@@ -221,6 +287,7 @@ class LakeTable:
         self.compact_deltas = compact_deltas
         self.commit_mode = commit_mode
         self.l0_compact_files = l0_compact_files
+        self.lock_lease_s = lock_lease_s
         self._requested_partitions = num_partitions
 
     # ------------------------------------------------------------ manifest
@@ -295,18 +362,40 @@ class LakeTable:
 
         return fold
 
+    @staticmethod
+    def _run_may_contain(ent: dict, pid: int) -> bool:
+        """Manifest-level run pruning: False iff the L0 run entry's bucket
+        metadata proves partition ``pid`` has no rows in it. Entries
+        without metadata (older manifests) are conservatively included."""
+        bmin, bmax = ent.get("bmin"), ent.get("bmax")
+        if bmin is None or bmax is None:
+            return True
+        if pid < bmin or pid > bmax:
+            return False
+        buckets = ent.get("buckets")
+        return buckets is None or pid in buckets
+
     def _descriptors(self, m: dict) -> list[dict]:
-        l0_files = [e["file"] for e in m.get("l0", [])]
-        l0_json = json.dumps(l0_files)
+        l0_ents = m.get("l0", [])
         descs = []
-        pids = set(range(m["num_partitions"])) if l0_files else set()
-        pids.update(int(p) for p in m["partitions"])
+        # candidate pids: every partition some run may touch + every
+        # partition with state files — sparse L0 metadata keeps the task
+        # count proportional to touched partitions, not num_partitions
+        pids = set(int(p) for p in m["partitions"])
+        for e in l0_ents:
+            if e.get("buckets") is not None:
+                pids.update(int(b) for b in e["buckets"])
+            elif e.get("bmin") is not None:
+                pids.update(range(int(e["bmin"]), int(e["bmax"]) + 1))
+            else:
+                pids.update(range(m["num_partitions"]))
         for pid in sorted(pids):
             ent = m["partitions"].get(str(pid), {})
             base, deltas = _part_files(ent) if ent else (None, [])
             files = ([base] if base else []) + deltas
+            l0_files = [e["file"] for e in l0_ents if self._run_may_contain(e, pid)]
             if files or l0_files:
-                descs.append({"pid": pid, "files": json.dumps(files), "l0": l0_json})
+                descs.append({"pid": pid, "files": json.dumps(files), "l0": json.dumps(l0_files)})
         return descs
 
     def read(self, include_tombstones: bool = False) -> ray.data.Dataset:
@@ -376,7 +465,7 @@ class LakeTable:
                 "segment batch partially committed — tailer must pass only uncommitted segments"
             )
 
-        with _WriterLock(self.path):
+        with _WriterLock(self.path, lease_s=self.lock_lease_s):
             return self._apply_locked(m, new_names, events_ds, batch_size)
 
     def _apply_locked(self, m: dict, new_names: list[str], events_ds, batch_size: int) -> dict:
@@ -542,6 +631,9 @@ class LakeTable:
                     "rows": pa.array([], pa.int64()),
                     "watermark": pa.array([], pa.int64()),
                     "schema": pa.array([], pa.string()),
+                    "bmin": pa.array([], pa.int32()),
+                    "bmax": pa.array([], pa.int32()),
+                    "buckets": pa.array([], pa.string()),
                 }
             )
             if t.num_rows == 0:
@@ -572,18 +664,30 @@ class LakeTable:
             _fsync_dir(os.path.join(lake_path, rel))
             wm = int(lsns.max()) if len(lsns) else -1
             sch = schema_to_str(t.drop_columns(["_bucket"]).schema)
+            # run-pruning metadata: which partitions this run can contain —
+            # a partition read skips runs outside its bucket (the manifest-
+            # level complement of the in-file row-group statistics)
+            ub = np.unique(np.asarray(t.column("_bucket").combine_chunks()))
+            bjson = json.dumps([int(b) for b in ub]) if len(ub) <= 64 else ""
             return pa.table(
                 {
                     "file": pa.array([rel]),
                     "rows": pa.array([t.num_rows], type=pa.int64()),
                     "watermark": pa.array([wm], type=pa.int64()),
                     "schema": pa.array([sch]),
+                    "bmin": pa.array([int(ub[0])], type=pa.int32()),
+                    "bmax": pa.array([int(ub[-1])], type=pa.int32()),
+                    "buckets": pa.array([bjson]),
                 }
             )
 
         stats_rows = events_ds.map_batches(
             write_run, batch_format="pyarrow", batch_size=None
         ).take_all()
+        # two distinct blocks with identical content write the SAME
+        # (content-named) file — keep one stats row per file so reads
+        # don't fold it twice and manifest counters don't double-count
+        stats_rows = list({r["file"]: r for r in stats_rows}.values())
 
         schemas = [schema_from_str(r["schema"]) for r in stats_rows]
         if m.get("schema"):
@@ -599,7 +703,14 @@ class LakeTable:
         m2["epoch"] = epoch
         m2["segments_applied"] = list(m["segments_applied"]) + list(new_names)
         m2["l0"] = list(m.get("l0", [])) + [
-            {"file": r["file"], "rows": int(r["rows"]), "watermark": int(r["watermark"])}
+            {
+                "file": r["file"],
+                "rows": int(r["rows"]),
+                "watermark": int(r["watermark"]),
+                "bmin": int(r["bmin"]),
+                "bmax": int(r["bmax"]),
+                "buckets": json.loads(r["buckets"]) if r["buckets"] else None,
+            }
             for r in stats_rows
         ]
         m2["history"] = list(m.get("history", [])) + [
@@ -652,7 +763,7 @@ class LakeTable:
         deltas + pending L0 runs fold into a fresh base file; optionally
         drop tombstones (safe once upstream segments can no longer be
         replayed). Writes a new epoch. Returns tombstones dropped."""
-        with _WriterLock(self.path):
+        with _WriterLock(self.path, lease_s=self.lock_lease_s):
             return self._compact_locked(self.manifest(), drop_tombs)
 
     def _compact_locked(self, m: dict, drop_tombs: bool = False) -> int:

@@ -14,7 +14,8 @@ the consumer offset.
 from __future__ import annotations
 
 import os
-from typing import Callable
+import time
+from typing import Callable, Iterator
 
 import pyarrow as pa
 
@@ -115,3 +116,42 @@ def tail_until_caught_up(
         if r is None:
             return out
         out.append(r)
+
+
+def tail_forever(
+    lake: LakeTable,
+    log_dir: str,
+    poll_s: float = 1.0,
+    idle_timeout_s: float | None = None,
+    max_epochs: int | None = None,
+    **tail_kwargs,
+) -> Iterator[dict]:
+    """Continuous watch loop — the ListenDICOM *push* analog
+    (``ListenDICOM.java:122-190``): a long-running tailer that picks up
+    segments appearing mid-run and yields each committed epoch as it
+    lands (provenance-receive per epoch, not per restart).
+
+    Generator semantics make it embeddable without threads: the caller
+    consumes epochs as they commit and controls shutdown. Exits when
+    ``max_epochs`` epochs committed, or after ``idle_timeout_s`` seconds
+    fully caught up with nothing new (None = poll forever). Restart-safe
+    like everything else: the manifest is the consumer offset, so a
+    killed watcher resumes exactly where it stopped.
+    """
+    n = 0
+    idle_since: float | None = None
+    while True:
+        r = tail_once(lake, log_dir, **tail_kwargs)
+        if r is not None:
+            idle_since = None
+            n += 1
+            yield r
+            if max_epochs is not None and n >= max_epochs:
+                return
+            continue
+        now = time.monotonic()
+        if idle_since is None:
+            idle_since = now
+        if idle_timeout_s is not None and now - idle_since >= idle_timeout_s:
+            return
+        time.sleep(poll_s)

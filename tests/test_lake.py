@@ -346,6 +346,149 @@ def test_concurrent_writer_lock(lake, tmp_path):
     assert not os.path.exists(lock_path)
 
 
+def _one_event(doc_id="k", lsn=1):
+    return pa.table(
+        {
+            "lsn": pa.array([lsn], type=pa.int64()),
+            "op": ["insert"],
+            "doc_id": [doc_id],
+            "tokens": pa.array([[1]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1], type=pa.int32()),
+            "source": ["web"],
+        }
+    )
+
+
+def test_writer_lease_remote_lock(tmp_path):
+    """Shared-filesystem story: a lock owned by a REMOTE host (pid probe
+    meaningless) is respected until its lease deadline and broken after."""
+    import time as _time
+
+    from raycdc.lake import WRITER_LOCK, ConcurrentWriterError
+
+    lk = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lk.init()
+    lock_path = os.path.join(lk.path, WRITER_LOCK)
+    # live remote writer: unexpired lease — must NOT be broken, even though
+    # pid 999999999 is dead on THIS host
+    with open(lock_path, "w") as f:
+        f.write(f"999999999 other-host-f00 {_time.time() + 3600:.3f}")
+    with pytest.raises(ConcurrentWriterError, match="other-host-f00"):
+        lk.apply(rd.from_arrow(_one_event()), ["s1"])
+    # expired remote lease — broken, apply proceeds
+    with open(lock_path, "w") as f:
+        f.write(f"999999999 other-host-f00 {_time.time() - 1:.3f}")
+    lk.apply(rd.from_arrow(_one_event()), ["s1"])
+    assert collect(lk.read()).num_rows == 1
+    assert not os.path.exists(lock_path)
+
+
+def test_writer_lock_break_does_not_steal_fresh_lock(tmp_path):
+    """The round-2 race: a waiter that judged a lock stale must not break
+    the DIFFERENT (fresh) lock that replaced it. Simulated by swapping the
+    lock content between the staleness judgment and the break."""
+    import time as _time
+
+    import raycdc.lake as lm
+    from raycdc.lake import WRITER_LOCK, ConcurrentWriterError, _WriterLock
+
+    lk = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lk.init()
+    lock_path = os.path.join(lk.path, WRITER_LOCK)
+    stale = f"999999999 {lm._host()} 0"
+    fresh = f"{os.getpid()} {lm._host()} {_time.time() + 3600:.3f}"
+    with open(lock_path, "w") as f:
+        f.write(stale)
+
+    lock = _WriterLock(lk.path)
+    orig_read = lock._read
+    calls = {"n": 0}
+
+    def racy_read():
+        out = orig_read()
+        calls["n"] += 1
+        # after the waiter reads the stale owner, the "faster waiter" breaks
+        # the lock and installs a fresh one before this waiter acts
+        if calls["n"] == 1:
+            with open(lock_path, "w") as f:
+                f.write(fresh)
+        return out
+
+    lock._read = racy_read
+    with pytest.raises(ConcurrentWriterError):
+        lock.__enter__()
+    # the fresh (live) lock survived the attempted break
+    assert open(lock_path).read() == fresh
+    os.remove(lock_path)
+
+
+def test_l0_run_pruning_metadata(tmp_path):
+    """L0 manifest entries record which buckets each run contains, and a
+    partition read opens ONLY runs that can contain its bucket."""
+    from raycdc.util import bucket_of
+
+    P = 8
+    lk = LakeTable(str(tmp_path / "lake"), num_partitions=P, commit_mode="l0")
+    lk.init()
+    # craft keys whose buckets are known, split into two disjoint-bucket blocks
+    keys = [f"doc-{i:04d}" for i in range(200)]
+    b = bucket_of(pa.array(keys), P)
+    lo = [k for k, bb in zip(keys, b) if bb < 4][:20]
+    hi = [k for k, bb in zip(keys, b) if bb >= 4][:20]
+    assert lo and hi
+
+    def events_for(ids, lsn0):
+        n = len(ids)
+        return pa.table(
+            {
+                "lsn": pa.array(range(lsn0, lsn0 + n), type=pa.int64()),
+                "op": ["insert"] * n,
+                "doc_id": ids,
+                "tokens": pa.array([[1]] * n, type=pa.list_(pa.int32())),
+                "n_tok": pa.array([1] * n, type=pa.int32()),
+                "source": ["web"] * n,
+            }
+        )
+
+    lk.apply(rd.from_arrow(events_for(lo, 1)), ["s-lo"], batch_size=256)
+    lk.apply(rd.from_arrow(events_for(hi, 100)), ["s-hi"], batch_size=256)
+    m = lk.manifest()
+    assert len(m["l0"]) == 2
+    for ent in m["l0"]:
+        assert ent["bmin"] <= ent["bmax"] and ent["buckets"] is not None
+    lo_buckets = set(bucket_of(pa.array(lo), P).tolist())
+    hi_buckets = set(bucket_of(pa.array(hi), P).tolist())
+    descs = {d["pid"]: d for d in lk._descriptors(m)}
+    import json as _json
+
+    lo_file = next(e["file"] for e in m["l0"] if set(e["buckets"]) == lo_buckets)
+    hi_file = next(e["file"] for e in m["l0"] if set(e["buckets"]) == hi_buckets)
+    for pid in lo_buckets:
+        files = _json.loads(descs[pid]["l0"])
+        assert lo_file in files and hi_file not in files
+    for pid in hi_buckets:
+        files = _json.loads(descs[pid]["l0"])
+        assert hi_file in files and lo_file not in files
+    # untouched partitions get no descriptor at all
+    assert set(descs) == lo_buckets | hi_buckets
+    assert collect(lk.read()).num_rows == len(lo) + len(hi)
+
+
+def test_l0_duplicate_block_content_counted_once(tmp_path):
+    """Two input blocks with identical content produce ONE run file and
+    ONE manifest entry (not a double-fold)."""
+    lk = LakeTable(str(tmp_path / "lake"), num_partitions=4, commit_mode="l0")
+    lk.init()
+    ev = _one_event()
+    dup = rd.from_arrow(ev).union(rd.from_arrow(ev))  # 2 identical blocks
+    r = lk.apply(dup, ["s1"], batch_size=256)
+    m = lk.manifest()
+    assert len(m["l0"]) == 1
+    assert r["events_after_reduce"] == 1
+    got = collect(lk.read())
+    assert got.num_rows == 1
+
+
 def test_vacuum_removes_unreferenced_epochs(lake, tmp_path):
     base, log_dir, _ = make_log(tmp_path, seed=43, n_segments=3)
     seeded_lake(lake, base)
@@ -359,6 +502,43 @@ def test_vacuum_removes_unreferenced_epochs(lake, tmp_path):
     assert removed and after == before - len(removed)
     # the referenced (current) files all survive and the table still reads
     assert collect(lake.read()).num_rows > 0
+
+
+def test_tail_forever_picks_up_segments_mid_run(tmp_path):
+    """The continuous watch loop (ListenDICOM push analog): segments
+    appended WHILE the tailer runs become incremental epochs without a
+    restart; the loop exits once idle for idle_timeout_s."""
+    from raycdc.tailer import tail_forever
+
+    lk = LakeTable(str(tmp_path / "lake"), num_partitions=4, commit_mode="l0")
+    lk.init()
+    cfg = EventGenConfig(n_events=300, n_base=40, seed=11, min_len=4, max_len=8)
+    log_dir = str(tmp_path / "log")
+    write_changelog(log_dir, cfg, n_segments=2)
+    base = base_table(40, seed=11, min_len=4, max_len=8)
+    seeded_lake(lk, base)
+
+    watcher = tail_forever(
+        lk, log_dir, poll_s=0.05, idle_timeout_s=0.3,
+        max_segments_per_epoch=1, batch_size=256,
+    )
+    epochs = []
+    late_written = False
+    for r in watcher:
+        epochs.append(r)
+        if not late_written:
+            # a segment arrives mid-run, after the watcher already started
+            late = EventGenConfig(n_events=100, n_base=40, seed=11, min_len=4,
+                                  max_len=8, lsn_offset=300)
+            _write = write_changelog(str(tmp_path / "late"), late, n_segments=1)
+            os.rename(_write[0], os.path.join(log_dir, "seg-00099.parquet"))
+            late_written = True
+    assert len(epochs) == 3  # 2 initial + 1 late segment
+    assert len(lk.manifest()["segments_applied"]) == 4  # __base__ + 3
+    all_events = pa.concat_tables(
+        [pq.read_table(os.path.join(log_dir, f)) for f in sorted(os.listdir(log_dir))]
+    )
+    assert_eq(collect(lk.read()), fold_events(base, all_events))
 
 
 def test_l0_auto_compaction_bounds_fan_in(tmp_path):
