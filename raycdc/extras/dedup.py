@@ -226,6 +226,103 @@ def candidate_pairs_from_bands(
     return _dedup_pair_rows(cand)
 
 
+def gram_sets_dataset(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    id_out: str | None = None,
+    grams_out: str = "grams",
+    batch_size: int = 2048,
+) -> ray.data.Dataset:
+    """(id, sorted-unique word-k-gram hash set) per document — one
+    streaming, fully vectorized pass over the corpus (flat siphash words →
+    rolling k-grams → per-row unique via one lexsort + boundary mask).
+    No driver state; the gram sets live in list<int64> Arrow columns."""
+    from raycdc.extras.texthash import gram_hashes, word_hash_flat
+
+    id_name = id_out or id_col
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        fh, offs = word_hash_flat(t[text_col])
+        grams, goffs = gram_hashes(fh, offs, k)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(goffs))
+        order = np.lexsort((grams, row_ids))
+        g, r = grams[order], row_ids[order]
+        keep = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            keep[1:] = (g[1:] != g[:-1]) | (r[1:] != r[:-1])
+        g, r = g[keep], r[keep]
+        counts = np.bincount(r, minlength=n) if n else np.zeros(0, np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(g.view(np.int64), type=pa.int64()),
+        )
+        return pa.table({id_name: t[id_col], grams_out: arr})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def verify_jaccard_pairs_ds(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.0,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed exact word-k-gram Jaccard for a candidate-pair STREAM.
+
+    The pairs stay a Dataset end to end (round-2 verdict: no candidate
+    pairs / gram-set dicts on the driver — on a duplication-heavy corpus
+    candidates are O(corpus)). Shape: two :func:`raycdc.ops.hash_join`s
+    attach each side's gram set to the pair rows through bounded bucket
+    shuffles; a streaming map_batches then scores Jaccard per pair.
+    Cost: two corpus gram passes + two shuffles of O(corpus grams) bytes,
+    independent of the duplication rate. Pairs whose ids are missing from
+    the corpus drop at the inner joins (same contract as before)."""
+    from raycdc.ops import hash_join
+
+    ga = gram_sets_dataset(ds, text_col, id_col, k, id_out="id_a", grams_out="_grams_a")
+    gb = gram_sets_dataset(ds, text_col, id_col, k, id_out="id_b", grams_out="_grams_b")
+    j = hash_join(pairs, ga, key="id_a", num_buckets=num_buckets)
+    j = hash_join(j, gb, key="id_b", num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field("id_a").type
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+                             "jaccard": pa.array([], pa.float64())})
+        a = t["_grams_a"].combine_chunks()
+        b = t["_grams_b"].combine_chunks()
+        # .values/.offsets (not flatten) stay correct for sliced arrays
+        fa = a.values.to_numpy(zero_copy_only=False).view(np.uint64)
+        oa = np.asarray(a.offsets, dtype=np.int64)
+        fb = b.values.to_numpy(zero_copy_only=False).view(np.uint64)
+        ob = np.asarray(b.offsets, dtype=np.int64)
+        js = np.empty(n, dtype=np.float64)
+        for i in range(n):  # one iteration per candidate PAIR, never per doc
+            sa, sb = fa[oa[i]:oa[i + 1]], fb[ob[i]:ob[i + 1]]
+            if not len(sa) and not len(sb):
+                js[i] = 1.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            js[i] = inter / max(1, len(sa) + len(sb) - inter)
+        keep = js >= threshold
+        mask = pa.array(keep)
+        return pa.table({
+            "id_a": t["id_a"].filter(mask),
+            "id_b": t["id_b"].filter(mask),
+            "jaccard": pa.array(np.round(js[keep], 6), pa.float64()),
+        })
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
 def verify_jaccard_pairs(
     ds: ray.data.Dataset,
     pair_table: pa.Table,
@@ -234,65 +331,21 @@ def verify_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.0,
 ) -> pa.Table:
-    """Exact word-k-gram Jaccard for an explicit candidate-pair table.
-
-    Shape: broadcast the candidate id set, one distributed pass over the
-    corpus computes each candidate doc's UNIQUE gram-hash set
-    (vectorized — texthash kernels), only those arrays return to the
-    driver, and pairs are scored with numpy set intersections.
-    Partitioning assumption (documented): candidates ≪ corpus — LSH
-    banding plus the bucket cap bounds them by construction."""
-    from raycdc.extras.texthash import gram_hashes, word_hash_flat
-
-    wanted = sorted(set(pair_table["id_a"].to_pylist()) | set(pair_table["id_b"].to_pylist()))
-    if not wanted:
+    """Driver-side convenience wrapper over :func:`verify_jaccard_pairs_ds`
+    for an EXPLICIT (small) pair table — e.g. a handful of suspect pairs.
+    Big pair streams must use the dataset-native variant directly."""
+    if pair_table.num_rows == 0:
         return pair_table.append_column("jaccard", pa.array([], pa.float64()))
-    ref = ray.put(pa.array(wanted))
-
-    class GramSets:
-        def __init__(self):
-            self.want = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pc.is_in(t[id_col], value_set=self.want)
-            t = t.filter(mask)
-            fh, offs = word_hash_flat(t[text_col])
-            grams, goffs = gram_hashes(fh, offs, k)
-            sets = [
-                np.unique(grams[goffs[i] : goffs[i + 1]]).view(np.int64)
-                for i in range(t.num_rows)
-            ]
-            return pa.table(
-                {id_col: t[id_col], "grams": pa.array([s.tolist() for s in sets],
-                                                      type=pa.list_(pa.int64()))}
-            )
-
-    got: dict = {}
-    fetched = ds.map_batches(GramSets, batch_format="pyarrow", concurrency=2)
-    for b in fetched.iter_batches(batch_size=None, batch_format="pyarrow"):
-        ids = b[id_col].to_pylist()
-        gl = b["grams"].combine_chunks()
-        goffs = np.asarray(gl.offsets).astype(np.int64)
-        flat = gl.flatten().to_numpy(zero_copy_only=False)
-        for i, d in enumerate(ids):
-            got[d] = flat[goffs[i] : goffs[i + 1]]
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(pair_table["id_a"].to_pylist(), pair_table["id_b"].to_pylist()):
-        ga, gb = got.get(a), got.get(b)
-        if ga is None or gb is None:
-            continue
-        if len(ga) == 0 and len(gb) == 0:
-            j = 1.0
-        else:
-            inter = len(np.intersect1d(ga, gb, assume_unique=True))
-            j = inter / max(1, len(ga) + len(gb) - inter)
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(j, 6))
+    out = verify_jaccard_pairs_ds(
+        ds, ray.data.from_arrow(pair_table), text_col=text_col, id_col=id_col,
+        k=k, threshold=threshold,
+    )
+    batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
     id_type = pair_table.schema.field("id_a").type
-    return pa.table({"id_a": pa.array(out_a, id_type), "id_b": pa.array(out_b, id_type),
-                     "jaccard": pa.array(out_j, pa.float64())})
+    if not batches:
+        return pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+                         "jaccard": pa.array([], pa.float64())})
+    return pa.concat_tables(batches, promote_options="permissive")
 
 
 def minhash_near_dup(
@@ -314,9 +367,10 @@ def minhash_near_dup(
 
     Scale shape: the band shuffle moves ONLY (id, band, band_key) rows —
     signature bytes, never the corpus (round-1 shipped text ×bands).
-    Verification is a second pass that fetches gram sets for candidate
-    ids only. Buckets are capped (``max_bucket``) against degenerate
-    band collisions."""
+    Verification is fully distributed (:func:`verify_jaccard_pairs_ds`):
+    pairs and gram sets stay Datasets end to end — nothing candidate-
+    sized ever lands on the driver. Buckets are capped (``max_bucket``)
+    against degenerate band collisions."""
     mh = dict(
         text_col=text_col, id_col=id_col, k_shingle=k_shingle, num_perm=num_perm, bands=bands
     )
@@ -330,18 +384,9 @@ def minhash_near_dup(
     cand = candidate_pairs_from_bands(
         banded, id_col=id_col, max_bucket=max_bucket, metrics_name=metrics_name
     )
-    batches = list(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
-    sch = ds.schema()  # ray.data.Schema: parallel .names / .types lists
-    id_type = sch.types[sch.names.index(id_col)]
-    pair_table = (
-        pa.concat_tables(batches, promote_options="permissive")
-        if batches
-        else pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
+    return verify_jaccard_pairs_ds(
+        ds, cand, text_col=text_col, id_col=id_col, k=k_shingle, threshold=threshold
     )
-    verified = verify_jaccard_pairs(
-        ds, pair_table, text_col=text_col, id_col=id_col, k=k_shingle, threshold=threshold
-    )
-    return ray.data.from_arrow(verified)
 
 
 # ----------------------------------------------------------------- simhash
@@ -540,8 +585,8 @@ def ngram_jaccard_pairs(
     k: int = 3,
 ) -> pa.Table:
     """Exact n-gram Jaccard for an explicit candidate-pair list —
-    delegates to :func:`verify_jaccard_pairs` (gram-hash sets fetched in
-    one distributed pass; candidate sets small by construction)."""
+    delegates to :func:`verify_jaccard_pairs` (distributed scoring,
+    driver-collected result; candidate lists small by construction)."""
     pt = pa.table({"id_a": pa.array([a for a, _ in pairs]),
                    "id_b": pa.array([b for _, b in pairs])})
     return verify_jaccard_pairs(ds, pt, text_col=text_col, id_col=id_col, k=k, threshold=0.0)

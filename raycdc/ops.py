@@ -314,9 +314,12 @@ def hash_join(
         )
         li = pa.array(m["li"].to_numpy(np.int64))
         ri = pa.Array.from_pandas(m["ri"].astype("Int64"))
-        cols = [lt.column(c).take(li) for c in (key, *left_only)]
-        cols += [rt.column(c).take(ri) for c in rcols_out]
-        return pa.Table.from_arrays(cols, schema=want)
+        # build by NAME, not position: `want` keeps the left's column order,
+        # which differs from (key, *left_only) whenever the join key is not
+        # the left's first column
+        named = {c: lt.column(c).take(li) for c in (key, *left_only)}
+        named.update({c: rt.column(c).take(ri) for c in rcols_out})
+        return pa.Table.from_arrays([named[f.name] for f in want], schema=want)
 
     return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 

@@ -190,6 +190,20 @@ def test_hash_join_inner_and_left():
     assert all(r["payload"] is not None for r in lj)  # left payload survives
 
 
+def test_hash_join_key_not_first_column():
+    """Regression: join_bucket assembled columns positionally as
+    (key, *left_only) against a schema in left-column order — a join key
+    that isn't the left's FIRST column swapped column values."""
+    from raycdc.ops import hash_join
+
+    left = pa.table({"other": ["x", "y", "z"], "k": pa.array([1, 2, 3], pa.int64())})
+    right = pa.table({"k": pa.array([2, 3], pa.int64()), "rv": ["R2", "R3"]})
+    out = collect_rows(hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                                 "k", how="inner", num_buckets=4))
+    assert sorted((r["other"], r["k"], r["rv"]) for r in out) == [
+        ("y", 2, "R2"), ("z", 3, "R3")]
+
+
 def test_hash_join_null_keys_never_match():
     """SQL `JOIN ON =` semantics: NULL keys match nothing (pandas would
     pair NaN with NaN)."""
