@@ -275,6 +275,9 @@ def q_dedup_exact_rows(sf_dir: str):
     actually feeds downstream (D1 surviving-rows mode)."""
     from raycdc.extras.dedup import exact_dedup_rows
 
+    # runs the engine-default vectorized siphash content key: the
+    # surviving ROW SET is kernel-independent (distinct texts → distinct
+    # keys under either kernel), so the ★ oracle still checks it exactly
     out = exact_dedup_rows(_docs(sf_dir))
     return out.map_batches(
         lambda t: t.select(["doc_id", "text", "lang", "source", "n_chars"]),
@@ -351,15 +354,14 @@ def q_join_orders_nation(sf_dir: str):
 
 # ------------------------------------------------------------------- dedup
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup: content-hash groups with first-writer winner (D1)."""
-    from raycdc.ops import partial_groupby_agg
+    """Exact dedup: content-hash groups with first-writer winner (D1).
+    content_hash="md5" because the output EXPOSES the hash column the
+    DuckDB oracle recomputes; the engine default is the vectorized
+    siphash kernel (identical grouping, ~10-40x the hashing throughput —
+    see BASELINE.md)."""
+    from raycdc.extras.dedup import exact_dedup
 
-    def h(t: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
-        return pa.table({"h": pa.array(hs), "doc_id": t["doc_id"]})
-
-    ds = _docs(sf_dir).map_batches(h, batch_format="pyarrow")
-    return partial_groupby_agg(ds, "h", {"keep_id": ("doc_id", "min"), "dups": ("doc_id", "count")})
+    return exact_dedup(_docs(sf_dir), content_hash="md5")
 
 
 def q_text_curation(sf_dir: str):
@@ -380,7 +382,11 @@ def q_deterministic_sample(sf_dir: str):
     curation pipeline needs (ds.random_sample is neither)."""
     from raycdc.ops import deterministic_sample
 
-    out = deterministic_sample(_docs(sf_dir), "doc_id", keep_sixteenths=2)
+    # hash_kernel="md5" because the SAMPLED SET is the output and DuckDB
+    # runs the identical md5 expression; the engine default is the
+    # vectorized siphash kernel (same rate, different — equally stable —
+    # row selection)
+    out = deterministic_sample(_docs(sf_dir), "doc_id", keep_sixteenths=2, hash_kernel="md5")
     return out.map_batches(
         lambda t: t.select(["doc_id", "lang", "source", "n_chars"]), batch_format="pyarrow"
     )

@@ -124,23 +124,29 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 _WS = re.compile(r"\s+")
 
 
-def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Content fingerprint: md5 of whitespace-normalized lowercase text
-    (one C-speed digest per document — the oracle-matched column) plus a
-    64-bit Karp-Rabin rolling hash over the word-hash stream (numpy
-    polynomial — no per-word Python)."""
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      include_md5: bool = True) -> pa.Table:
+    """Content fingerprint. Two columns:
+
+    * ``rolling_fp`` — 64-bit Karp-Rabin rolling hash over the word-hash
+      stream (numpy polynomial, fully vectorized) — the ENGINE-SCALE
+      fingerprint; use this (``include_md5=False``) on corpus-wide paths.
+    * ``fp`` — md5 of whitespace-normalized lowercase text, one C digest
+      per document in a Python loop — ORACLE-ONLY: kept because DuckDB
+      runs the identical ``md5(...)`` expression for the ★ check.
+    """
     from raycdc.extras.texthash import polynomial_fingerprint, word_hash_flat
 
-    norm = pc.replace_substring_regex(
-        pc.utf8_lower(batch[text_col]), pattern=r"\s+", replacement=" "
-    )
-    norm = pc.utf8_trim_whitespace(norm)
-    fps = [hashlib.md5(x.encode()).hexdigest() for x in norm.to_pylist()]
     fh, offs = word_hash_flat(batch[text_col])
     rolls = polynomial_fingerprint(fh, offs)
-    return batch.append_column("fp", pa.array(fps)).append_column(
-        "rolling_fp", pa.array(rolls.view(np.int64), type=pa.int64())
-    )
+    if include_md5:
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(batch[text_col]), pattern=r"\s+", replacement=" "
+        )
+        norm = pc.utf8_trim_whitespace(norm)
+        fps = [hashlib.md5(x.encode()).hexdigest() for x in norm.to_pylist()]
+        batch = batch.append_column("fp", pa.array(fps))
+    return batch.append_column("rolling_fp", pa.array(rolls.view(np.int64), type=pa.int64()))
 
 
 def analyze(ds: ray.data.Dataset, text_col: str = "text", concurrency: int = 4,

@@ -135,6 +135,35 @@ def curate_text(
     return ds
 
 
+def deid_transform(password: str | None = "bench", iterations: int = 200,
+                   batch_size: int = 65536):
+    """The reference-analog per-record work stage for the changelog tail:
+    pseudonymize identities (M4/T4/T5) and seal the restoring change-set
+    envelope (C2/C4) — the DeidentifyEncryptDICOM workload
+    (``DeidentifyEncryptDICOM.java:90-96`` per-image crypto; iterations
+    default mirrors the reference's 100, not the hardened library
+    default, because this is the throughput-path configuration).
+
+    Used by ``bench.py --scaling``: the timed tail then carries the
+    reference's real per-event CPU profile (rules + envelope crypto)
+    rather than raw byte movement, which is what the N-vs-4N scaling
+    criterion is meant to exercise (see BASELINE.md)."""
+    from raycdc.diffmerge import DeidentifyEncrypt
+    from raycdc.identity import name_based_uid, pseudo_id
+    from raycdc.rules import Rule, RuleSet
+
+    rs = RuleSet(rules=[
+        Rule(column="doc_id", action="map", fn=lambda t: pseudo_id(t["doc_id"])),
+        Rule(column="source", action="map", fn=lambda t: name_based_uid(t["source"])),
+    ])
+    stage = DeidentifyEncrypt(rs, key="doc_id", password=password, iterations=iterations)
+
+    def transform(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(stage, batch_format="pyarrow", batch_size=batch_size)
+
+    return transform
+
+
 def cdc_replay(
     sf_dir: str | None = None,
     work_root: str = "/tmp/raycdc_work",

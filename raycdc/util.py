@@ -49,11 +49,21 @@ _MIX2 = np.uint64(0x94D049BB133111EB)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over a uint64 ndarray (public PRNG mix)."""
-    z = (x + _SPLITMIX_GAMMA).astype(np.uint64)
-    z = (z ^ (z >> np.uint64(30))) * _MIX1
-    z = (z ^ (z >> np.uint64(27))) * _MIX2
-    return z ^ (z >> np.uint64(31))
+    """Vectorized splitmix64 finalizer over a uint64 ndarray (public PRNG mix).
+
+    Two allocations total (output + one shift scratch, reused in-place)
+    rather than one temp per op — fresh first-touch pages are the
+    dominant cost on this class of host (BASELINE.md)."""
+    z = np.add(np.asarray(x, dtype=np.uint64), _SPLITMIX_GAMMA)
+    t = np.right_shift(z, np.uint64(30))
+    z ^= t
+    z *= _MIX1
+    np.right_shift(z, np.uint64(27), out=t)
+    z ^= t
+    z *= _MIX2
+    np.right_shift(z, np.uint64(31), out=t)
+    z ^= t
+    return z
 
 
 def counter_rng_u64(seed: int, counters: np.ndarray) -> np.ndarray:
@@ -69,19 +79,35 @@ def str_hash_u64(values, seed: int = 0) -> np.ndarray:
     """Deterministic vectorized 64-bit hash of a string column.
 
     Accepts a pyarrow Array/ChunkedArray, pandas Series, list, or ndarray.
-    Uses pandas' keyed siphash (fixed default key → stable across
-    processes and runs) then a splitmix finalize with the seed.
+    Fast path: polars' seeded vectorized hash (one C pass over the Arrow
+    buffers, ~8 M rows/s — ~80x the pandas keyed-siphash path this
+    replaces and ~8x a per-row C md5 loop; BASELINE.md kernel bench),
+    finalized with splitmix so the published value never exposes the raw
+    kernel. Deterministic across processes, workers, and cluster sizes
+    for a pinned polars version (the hash is part of the lake's bucket
+    layout — any engine upgrade that changes it must rebuild or keep the
+    pandas fallback pinned; all synthesized/bench lakes are rebuilt per
+    run). Falls back to pandas' keyed siphash when polars is absent.
     """
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        ser = values.to_pandas()
+    if isinstance(values, pa.ChunkedArray):
+        arr = values
+    elif isinstance(values, pa.Array):
+        arr = pa.chunked_array([values])
     elif isinstance(values, pd.Series):
-        ser = values
+        arr = pa.chunked_array([pa.Array.from_pandas(values)])
     else:
-        ser = pd.Series(values)
-    h = pd.util.hash_pandas_object(ser.astype("object"), index=False).to_numpy(np.uint64)
-    if seed:
-        h = splitmix64(h ^ np.uint64(seed))
-    return h
+        arr = pa.chunked_array([pa.array(values)])
+    try:
+        import polars as pl
+
+        if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.string())
+        h = np.asarray(pl.from_arrow(arr).hash(seed=0).to_numpy(), dtype=np.uint64)
+    except ImportError:  # pragma: no cover - polars is baked into this env
+        h = pd.util.hash_pandas_object(
+            arr.to_pandas().astype("object"), index=False
+        ).to_numpy(np.uint64)
+    return splitmix64(h ^ np.uint64(seed))
 
 
 def bucket_of(keys, num_buckets: int, salt: np.ndarray | None = None) -> np.ndarray:

@@ -345,3 +345,50 @@ def test_embedding_near_dup_multi_table_recall():
     # no duplicate pairs despite multiple tables agreeing
     rows = collect(embedding_near_dup(ds, threshold=0.9, n_planes=6, n_tables=4))
     assert rows.num_rows == len(multi)
+
+
+# ------------------------------------------------- hash kernels (sip vs md5)
+def test_exact_dedup_kernels_agree_on_grouping():
+    """The sip (vectorized engine default) and md5 (oracle-parity) content
+    kernels must induce the SAME grouping — only the hash values differ."""
+    ds = rd.from_arrow(doc_table())
+    for mode in ("sip", "md5"):
+        agg = collect(exact_dedup(ds, content_hash=mode)).to_pylist()
+        assert {r["keep_id"]: r["dups"] for r in agg} == {0: 2, 2: 1, 3: 1, 4: 1, 5: 1}, mode
+        rows = collect(exact_dedup_rows(ds, content_hash=mode))
+        assert sorted(rows["doc_id"].to_pylist()) == [0, 2, 3, 4, 5], mode
+
+
+def test_deterministic_sample_kernels():
+    import hashlib
+
+    from raycdc.ops import deterministic_sample
+
+    ids = [f"doc-{i:05d}" for i in range(4000)] + [None]
+    t = pa.table({"doc_id": pa.array(ids)})
+    for kernel in ("sip", "md5"):
+        a = collect(deterministic_sample(rd.from_arrow(t), "doc_id", 2, hash_kernel=kernel))
+        # partitioning-independent + replay-stable: same set at other parallelism
+        b = collect(
+            deterministic_sample(
+                rd.from_arrow(t).repartition(7), "doc_id", 2, hash_kernel=kernel
+            )
+        )
+        assert sorted(a["doc_id"].to_pylist()) == sorted(b["doc_id"].to_pylist()), kernel
+        assert None not in a["doc_id"].to_pylist()
+        # rate ≈ 2/16 with slack (content-addressed Bernoulli)
+        assert 0.06 < a.num_rows / 4000 < 0.20, kernel
+    # md5 kernel matches the oracle expression exactly
+    md5_rows = collect(deterministic_sample(rd.from_arrow(t), "doc_id", 2, hash_kernel="md5"))
+    expect = [v for v in ids if v is not None and hashlib.md5(v.encode()).hexdigest()[0] in "01"]
+    assert sorted(md5_rows["doc_id"].to_pylist()) == sorted(expect)
+
+
+def test_fingerprint_md5_optional():
+    t = doc_table()
+    full = fingerprint_batch(t)
+    lean = fingerprint_batch(t, include_md5=False)
+    assert "fp" in full.column_names and "fp" not in lean.column_names
+    assert full["rolling_fp"].to_pylist() == lean["rolling_fp"].to_pylist()
+    # identical docs share both fingerprints
+    assert full["fp"][0] == full["fp"][1] and full["rolling_fp"][0] == full["rolling_fp"][1]
