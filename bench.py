@@ -108,13 +108,19 @@ def run_bench() -> dict:
     # stage) on the timed tail, the workload DeidentifyEncryptDICOM
     # performs per image. --scaling uses it so the timed tail carries the
     # reference's real per-event CPU profile (see BASELINE.md).
+    # whole-segment batches: one fused task per segment, one L0 run per
+    # segment, maximal per-batch LWW reduction (see tail_once docstring)
+    bs = os.environ.get("RAYCDC_BENCH_BATCH", "")
+    batch_size = int(bs) if bs else None
+
     transform = None
     tname = os.environ.get("RAYCDC_BENCH_TRANSFORM", "")
     if tname == "deid":
         from raycdc.pipelines import deid_transform
 
         transform = deid_transform(
-            iterations=int(os.environ.get("RAYCDC_BENCH_DEID_ITERS", "200")))
+            iterations=int(os.environ.get("RAYCDC_BENCH_DEID_ITERS", "200")),
+            batch_size=batch_size)
     elif tname:
         raise ValueError(f"unknown RAYCDC_BENCH_TRANSFORM {tname!r}")
 
@@ -123,6 +129,7 @@ def run_bench() -> dict:
             lake, log_dir,
             max_segments_per_epoch=int(seg_per_epoch) if seg_per_epoch else None,
             transform=transform,
+            batch_size=batch_size,
         )
 
     # untimed warm-up pass: faults worker heaps / object store pages once

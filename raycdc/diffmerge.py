@@ -146,7 +146,7 @@ def compute_changeset(
     # columns diff vectorized; values fetched per-column only when needed
     import numpy as np
 
-    changed: dict[str, tuple] = {}
+    restores: list[dict] = [{} for _ in range(n_rows)]
     for c in original.column_names:
         if c not in transformed.column_names:
             mask = np.ones(n_rows, dtype=bool)
@@ -154,12 +154,17 @@ def compute_changeset(
             mask = _changed_mask(original[c], transformed[c], n_rows)
             if not mask.any():
                 continue
-        changed[c] = (mask, original[c].to_pylist())
+        # mask-first fetch: materialize ONLY the changed cells to Python
+        # (Arrow filter, then one pass over the changed positions) — a
+        # sparse diff on a wide batch never touches unchanged payload
+        pos = np.flatnonzero(mask)
+        vals = original[c].filter(pa.array(mask)).to_pylist()
+        for i, v in zip(pos, vals):
+            restores[i][c] = v
     keys_new = transformed[key].to_pylist() if key in transformed.column_names else [None] * n_rows
     blobs = []
     for i in range(n_rows):
-        restore = {c: vals[i] for c, (mask, vals) in changed.items() if mask[i]}
-        patch = {"expect": {key: keys_new[i]}, "restore": restore}
+        patch = {"expect": {key: keys_new[i]}, "restore": restores[i]}
         raw = json.dumps(patch, sort_keys=True).encode()
         blobs.append(seal(raw, password, iterations, salt, _key=derived) if password else raw)
     return transformed.append_column(CHANGESET_COL, pa.array(blobs, type=pa.binary()))
@@ -192,51 +197,89 @@ def apply_changeset(
         return keep.append_column("_route", pa.array([], type=pa.string()))
 
     derived = _derive_key(password, iterations, salt) if password else None  # KDF once per batch
-    rows = batch.to_pylist()
-    out_rows = []
-    routes = []
-    for r in rows:
-        blob = r.pop(CHANGESET_COL, None)
+    n_rows = batch.num_rows
+    # per-row work touches ONLY the envelope column + the key column; the
+    # payload (tokens, wide columns) is never materialized to Python —
+    # restored cells are scattered back with Arrow masks (mask-first
+    # rewrite of the round-2 full-batch to_pylist loop)
+    blobs = batch[CHANGESET_COL].to_pylist() if CHANGESET_COL in batch.column_names else [None] * n_rows
+    cur_keys = batch[key].to_pylist() if key in batch.column_names else [None] * n_rows
+    patches: list[dict | None] = []  # None ⇒ not_decrypted (row unchanged)
+    mismatches = []
+    for blob, cur in zip(blobs, cur_keys):
         if blob is None:
-            routes.append(ROUTE_NOT_DECRYPTED)
-            out_rows.append(r)
+            patches.append(None)
+            mismatches.append(False)
             continue
         raw = unseal(bytes(blob), password, iterations, salt, _key=derived) if password else bytes(blob)
         if raw is None:
-            routes.append(ROUTE_NOT_DECRYPTED)
-            out_rows.append(r)
+            patches.append(None)
+            mismatches.append(False)
             continue
         try:
             patch = json.loads(raw)
         except Exception:
-            routes.append(ROUTE_NOT_DECRYPTED)
-            out_rows.append(r)
+            patches.append(None)
+            mismatches.append(False)
             continue
         expected = patch.get("expect", {}).get(key)
-        mismatch = expected is not None and r.get(key) != expected
+        mismatch = expected is not None and cur != expected
         if mismatch and not accept_new:
-            routes.append(ROUTE_NOT_DECRYPTED)
-            out_rows.append(r)
+            patches.append(None)
+            mismatches.append(False)
             continue
-        restore = patch.get("restore", {})
+        patches.append(patch.get("restore", {}))
+        mismatches.append(mismatch)
+
+    keep = batch.drop_columns([CHANGESET_COL]) if CHANGESET_COL in batch.column_names else batch
+    # group restored cells by column, then patch each column once
+    col_cells: dict[str, tuple[list, list]] = {}  # col -> (row indices, values)
+    for i, (restore, mismatch) in enumerate(zip(patches, mismatches)):
+        if not restore:
+            continue
         for c, v in restore.items():
             if mismatch and c == key:
                 continue  # accept-as-new: preserve current key
-            r[c] = v
-        routes.append(ROUTE_OK)
-        out_rows.append(r)
-    out = pa.Table.from_pylist(out_rows)
-    # column order / types can drift through pylist; keep the batch's
-    # payload schema where names coincide
-    for f in batch.schema:
-        if f.name in out.column_names and f.name != CHANGESET_COL:
-            i = out.column_names.index(f.name)
-            if out.column(i).type != f.type:
-                try:
-                    out = out.set_column(i, f.name, out.column(i).cast(f.type))
-                except pa.ArrowInvalid:
-                    pass
-    return out.append_column("_route", pa.array(routes))
+            idx, vals = col_cells.setdefault(c, ([], []))
+            idx.append(i)
+            vals.append(v)
+    import numpy as np
+
+    out = keep
+    for c, (idx, vals) in col_cells.items():
+        mask = np.zeros(n_rows, dtype=bool)
+        mask[idx] = True
+        if c in out.column_names:
+            pos = out.column_names.index(c)
+            typ = out.column(pos).type
+            try:
+                repl = pa.array(vals, type=typ)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                repl = pa.array(vals)
+                typ = repl.type
+            try:
+                import pyarrow.compute as pc
+
+                new_col = pc.replace_with_mask(
+                    out.column(pos).combine_chunks().cast(typ), pa.array(mask), repl
+                )
+            except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                # nested types lack a scatter kernel: rebuild this one column
+                cur_vals = out.column(pos).to_pylist()
+                for i, v in zip(idx, vals):
+                    cur_vals[i] = v
+                new_col = pa.array(cur_vals, type=typ)
+            out = out.set_column(pos, c, new_col)
+        else:
+            # column the transform removed entirely: restored cells, null elsewhere
+            cur_vals: list = [None] * n_rows
+            for i, v in zip(idx, vals):
+                cur_vals[i] = v
+            out = out.append_column(c, pa.array(cur_vals))
+    routes = pa.array(
+        [ROUTE_NOT_DECRYPTED if p is None else ROUTE_OK for p in patches], type=pa.string()
+    )
+    return out.append_column("_route", routes)
 
 
 class DeidentifyEncrypt:

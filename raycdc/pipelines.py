@@ -136,7 +136,7 @@ def curate_text(
 
 
 def deid_transform(password: str | None = "bench", iterations: int = 200,
-                   batch_size: int = 65536):
+                   batch_size: int | None = 65536):
     """The reference-analog per-record work stage for the changelog tail:
     pseudonymize identities (M4/T4/T5) and seal the restoring change-set
     envelope (C2/C4) — the DeidentifyEncryptDICOM workload

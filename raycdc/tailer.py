@@ -36,11 +36,46 @@ def pending_segments(lake: LakeTable, log_dir: str) -> list[str]:
     return [s for s in list_segments(log_dir) if s not in done]
 
 
-def read_segments(log_dir: str, names: list[str], provenance: bool = False) -> ray.data.Dataset:
+def read_segments(
+    log_dir: str, names: list[str], provenance: bool = False, fused: bool = True
+) -> ray.data.Dataset:
     """Segment reader. With ``provenance=True`` a ``_segment`` column
-    traces every row to its source file (provenance-receive analog,
-    vectorized basename extraction) — off by default on the hot path."""
+    traces every row to its source file (provenance-receive analog) —
+    off by default on the hot path.
+
+    ``fused=True`` (default) reads each file INSIDE the map stage
+    (``from_items(paths) → map_batches(read)``): Ray 2.49 does not fuse
+    ``ReadParquet`` with downstream ``map_batches``, so the library read
+    pays a full object-store round trip for every ingested byte before
+    the first transform — on a 100-TB tail that is an extra
+    corpus-sized pass through plasma. The fused path makes
+    read → validate → transform → L0 ``write_run`` ONE task per
+    segment with zero payload bytes in the object store (the map-only
+    ingest ideal; run-file stats are the only task output). Parallelism
+    = pending segment count, and each task materializes one segment, so
+    the archiver's segment size bounds task memory (document-ed
+    contract; split oversized segments upstream). ``fused=False`` keeps
+    the ``read_parquet`` path for row-group-level parallelism over few
+    huge files."""
     paths = [os.path.join(log_dir, n) for n in names]
+    if fused:
+        import pyarrow.parquet as pq
+
+        def read_files(t: pa.Table):
+            for p in t.column("path").to_pylist():
+                tab = pq.read_table(p)
+                if provenance:
+                    seg = pa.array([os.path.basename(p)] * tab.num_rows)
+                    tab = tab.append_column("_segment", seg)
+                yield tab
+
+        ds = ray.data.from_items(
+            [{"path": p} for p in paths], override_num_blocks=len(paths)
+        )
+        # batch_size=1: one TASK per segment — without it the operator
+        # bundles the (byte-tiny) path blocks into a handful of tasks and
+        # parallelism collapses to the bundle count, not the segment count
+        return ds.map_batches(read_files, batch_format="pyarrow", batch_size=1)
     ds = ray.data.read_parquet(paths, include_paths=provenance)
     if not provenance:
         return ds
@@ -60,7 +95,7 @@ def tail_once(
     max_segments_per_epoch: int | None = None,
     transform: Callable[[ray.data.Dataset], ray.data.Dataset] | None = None,
     dead_letter_dir: str | None = None,
-    batch_size: int = 65536,
+    batch_size: int | None = 65536,
 ) -> dict | None:
     """Apply ONE epoch of pending segments (or None if fully caught up).
 
@@ -70,6 +105,11 @@ def tail_once(
     ``dead_letter_dir/epoch=N`` with full payload for repair
     (failure-loopback analog, ``PutDICOM.java:83-86``); one pass over the
     input total.
+
+    ``batch_size=None`` keeps each segment ONE batch end-to-end through
+    the fused read → validate → transform → L0 write chain: maximal
+    per-batch LWW reduction and exactly one run file per segment (task
+    memory = one segment — bounded by the archiver's segment size).
     """
     todo = pending_segments(lake, log_dir)
     if not todo:
