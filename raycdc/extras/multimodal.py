@@ -149,12 +149,18 @@ class DecodeImage:
     the fake path derives a deterministic feature vector from the
     payload hash (so downstream stages are testable without codecs)."""
 
-    def __init__(self, real: bool = False, feature_dim: int = 8):
+    def __init__(self, real: bool = False, feature_dim: int = 8,
+                 decoders: dict | None = None):
         self.real = real
         self.feature_dim = feature_dim
+        # registry snapshot: actor-pool workers import this module FRESH,
+        # so driver-side register_decoder() calls never reach them — the
+        # stage must carry its codec table (pipeline builders snapshot
+        # DECODERS at construction; see decode_features)
+        self.decoders = dict(DECODERS) if decoders is None else dict(decoders)
 
     def _real_features(self, payload: bytes, codec: str) -> list[float]:
-        dec = DECODERS.get(codec)
+        dec = self.decoders.get(codec)
         if dec is None:
             raise _no_decoder(codec)
         pix = dec(bytes(payload)).astype(np.float32) / np.float32(255.0)
@@ -191,11 +197,13 @@ class ResizeImage:
     codecs raise at the plug point. The stub path updates meta
     dimensions only (struct-column rewrite plumbing)."""
 
-    def __init__(self, width: int = 224, height: int = 224, real: bool = False):
+    def __init__(self, width: int = 224, height: int = 224, real: bool = False,
+                 decoders: dict | None = None):
         self.width, self.height, self.real = width, height, real
+        self.decoders = dict(DECODERS) if decoders is None else dict(decoders)
 
     def _real_resize(self, payload: bytes, codec: str) -> bytes:
-        dec = DECODERS.get(codec)
+        dec = self.decoders.get(codec)
         if dec is None or codec != "ppm":
             raise _no_decoder(codec)
         pix = dec(bytes(payload))
@@ -259,7 +267,9 @@ def decode_features(ds: ray.data.Dataset, concurrency: int = 4,
     actor pool, heavy payloads dropped at the decode boundary."""
     return ds.map_batches(
         DecodeImage,
-        fn_constructor_kwargs={"real": real},
+        # snapshot the registry HERE (driver side): fn_constructor_kwargs
+        # are shipped to each actor, carrying any register_decoder() calls
+        fn_constructor_kwargs={"real": real, "decoders": dict(DECODERS)},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -298,9 +298,47 @@ class LakeTable:
     def exists(self) -> bool:
         return os.path.exists(self.manifest_path)
 
-    def manifest(self) -> dict:
-        with open(self.manifest_path) as f:
-            return json.load(f)
+    def manifest(self, epoch: int | None = None) -> dict:
+        """Current manifest, or — time travel — the immutable snapshot
+        committed at ``epoch``. Snapshots are written at every commit
+        point and retained until :meth:`vacuum` (``keep_epochs``) reclaims
+        them, so any retained epoch's full table state stays readable."""
+        if epoch is None:
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        p = self._snapshot_path(epoch)
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise LookupError(
+                f"no manifest snapshot for epoch {epoch}: it was never "
+                "committed, pre-dates snapshotting, or was vacuumed "
+                "(raise vacuum(keep_epochs=...) to retain more history)"
+            ) from None
+
+    def _snapshot_path(self, epoch: int) -> str:
+        return os.path.join(self.path, "manifests", f"manifest-e{epoch:06d}.json")
+
+    def epochs(self) -> list[int]:
+        """Epochs readable via ``read(epoch=...)`` (retained snapshots)."""
+        d = os.path.join(self.path, "manifests")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[len("manifest-e"):-len(".json")])
+            for f in os.listdir(d)
+            if f.startswith("manifest-e") and f.endswith(".json")
+        )
+
+    def _commit_manifest(self, m: dict) -> None:
+        """The single commit point: atomic current-manifest swap, then an
+        immutable per-epoch snapshot for time travel. (A crash between the
+        two leaves that one epoch unsnapshotted — current-state
+        correctness is unaffected; the swap alone is the commit.)"""
+        _atomic_write_json(self.manifest_path, m)
+        os.makedirs(os.path.join(self.path, "manifests"), exist_ok=True)
+        _atomic_write_json(self._snapshot_path(int(m["epoch"])), m)
 
     def init(self) -> dict:
         """Idempotent bootstrap (Flyway-migration analog): manifest v0,
@@ -398,10 +436,15 @@ class LakeTable:
                 descs.append({"pid": pid, "files": json.dumps(files), "l0": json.dumps(l0_files)})
         return descs
 
-    def read(self, include_tombstones: bool = False) -> ray.data.Dataset:
-        """The current converged table as a streaming Dataset —
-        merge-on-read: one Ray task per partition folds base + deltas."""
-        m = self.manifest()
+    def read(
+        self, include_tombstones: bool = False, epoch: int | None = None
+    ) -> ray.data.Dataset:
+        """The converged table as a streaming Dataset — merge-on-read:
+        one Ray task per partition folds base + deltas. ``epoch`` time-
+        travels to any retained snapshot (state files are immutable and
+        content-named, so an old manifest replays its exact table; see
+        :meth:`epochs` / :meth:`vacuum`)."""
+        m = self.manifest(epoch)
         descs = self._descriptors(m)
         if not descs:
             return ray.data.from_arrow(pa.table({}))
@@ -411,8 +454,10 @@ class LakeTable:
             batch_format="pyarrow",
         )
 
-    def read_partition(self, pid: int, include_tombstones: bool = False) -> pa.Table:
-        m = self.manifest()
+    def read_partition(
+        self, pid: int, include_tombstones: bool = False, epoch: int | None = None
+    ) -> pa.Table:
+        m = self.manifest(epoch)
         descs = {d["pid"]: d for d in self._descriptors(m)}
         if pid not in descs:
             return None
@@ -603,7 +648,7 @@ class LakeTable:
                 "wall_sec": round(time.time() - t0, 3),
             }
         ]
-        _atomic_write_json(self.manifest_path, m2)
+        self._commit_manifest(m2)
         return m2["history"][-1]
 
     def _apply_l0(self, m: dict, new_names: list[str], events_ds, epoch: int,
@@ -722,7 +767,7 @@ class LakeTable:
                 "wall_sec": round(time.time() - t0, 3),
             }
         ]
-        _atomic_write_json(self.manifest_path, m2)
+        self._commit_manifest(m2)
         result = m2["history"][-1]
         if len(m2["l0"]) > self.l0_compact_files:
             # bound merge-on-read fan-in: fold pending runs into bases
@@ -734,14 +779,32 @@ class LakeTable:
     # ------------------------------------------------------------ maintenance
     def vacuum(self, keep_epochs: int = 1) -> list[str]:
         """Delete state files of epochs older than the newest
-        ``keep_epochs`` that are not referenced by the manifest."""
-        m = self.manifest()
-        referenced = {e["file"] for e in m.get("l0", [])}
-        for ent in m["partitions"].values():
-            base, deltas = _part_files(ent)
-            if base:
-                referenced.add(base)
-            referenced.update(deltas)
+        ``keep_epochs`` that are not referenced by the current manifest
+        OR by any retained time-travel snapshot. Snapshots older than the
+        newest ``keep_epochs`` are reclaimed first — ``keep_epochs`` is
+        the single retention dial for both state and history."""
+        # prune manifest snapshots beyond the retention window (the
+        # current manifest is always authoritative regardless)
+        snaps = self.epochs()
+        cur_epoch = int(self.manifest()["epoch"])
+        retained = snaps[-keep_epochs:] if keep_epochs else []
+        for e in snaps:
+            if e not in retained:
+                try:
+                    os.remove(self._snapshot_path(e))
+                except FileNotFoundError:
+                    pass
+        manifests = [self.manifest()] + [
+            self.manifest(e) for e in retained if e != cur_epoch
+        ]
+        referenced: set[str] = set()
+        for m in manifests:
+            referenced.update(e["file"] for e in m.get("l0", []))
+            for ent in m["partitions"].values():
+                base, deltas = _part_files(ent)
+                if base:
+                    referenced.add(base)
+                referenced.update(deltas)
         removed = []
         state_dir = os.path.join(self.path, "state")
         if not os.path.isdir(state_dir):
@@ -827,7 +890,7 @@ class LakeTable:
         m2["history"] = list(m.get("history", [])) + [
             {"epoch": epoch, "compaction": True, "tombstones_dropped": dropped_total}
         ]
-        _atomic_write_json(self.manifest_path, m2)
+        self._commit_manifest(m2)
         return dropped_total
 
     def compact_tombstones(self) -> int:

@@ -392,3 +392,43 @@ def test_fingerprint_md5_optional():
     assert full["rolling_fp"].to_pylist() == lean["rolling_fp"].to_pylist()
     # identical docs share both fingerprints
     assert full["fp"][0] == full["fp"][1] and full["rolling_fp"][0] == full["rolling_fp"][1]
+
+
+def test_codec_registry_external_decoder_flows_through():
+    """Conformance template for plugging an external codec (item: a
+    registered non-PPM decoder must flow through decode_features real=True
+    unchanged — the PIL/libvips/ffmpeg plug-point contract)."""
+    import ray.data as rd
+
+    from raycdc.extras.multimodal import (
+        DECODERS,
+        MEDIA_SCHEMA,
+        decode_features,
+        register_decoder,
+    )
+
+    def decode_raw12(data: bytes) -> np.ndarray:  # stand-in external codec
+        return np.frombuffer(data, dtype=np.uint8).reshape(2, 2, 3)
+
+    register_decoder("raw12", decode_raw12)
+    try:
+        pix = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+        t = pa.table(
+            {
+                "media_id": pa.array(["m0"]),
+                "kind": pa.array(["image"]),
+                "payload": pa.array([pix.tobytes()], type=pa.binary()),
+                "meta": pa.array(
+                    [{"width": 2, "height": 2, "sample_rate": 0, "n_frames": 1,
+                      "codec": "raw12"}],
+                    type=MEDIA_SCHEMA.field("meta").type,
+                ),
+            }
+        )
+        out = collect(decode_features(rd.from_arrow(t), concurrency=1, real=True))
+        assert out.num_rows == 1 and "payload" not in out.column_names
+        feats = out["features"][0].as_py()
+        expect_means = (pix.astype(np.float32) / 255.0).mean(axis=(0, 1))
+        assert np.allclose(feats[:3], expect_means, atol=1e-6)
+    finally:
+        DECODERS.pop("raw12", None)

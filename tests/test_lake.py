@@ -561,3 +561,47 @@ def test_l0_auto_compaction_bounds_fan_in(tmp_path):
     lk.compact()
     assert lk.manifest()["l0"] == []
     assert_eq(collect(lk.read()), fold_events(base, all_events))
+
+
+def test_time_travel_read_epochs(lake, tmp_path):
+    """read(epoch=E) reproduces the exact table state at each committed
+    epoch; vacuum(keep_epochs) reclaims old snapshots AND keeps the state
+    files retained snapshots still reference."""
+    from raycdc.synth import is_malformed_mask
+
+    base, log_dir, all_events = make_log(tmp_path, seed=47, n_segments=3)
+    seeded_lake(lake, base)
+    tail_until_caught_up(lake, log_dir, max_segments_per_epoch=1, batch_size=256)
+    epochs = lake.epochs()
+    assert lake.manifest()["epoch"] in epochs and len(epochs) >= 4  # init + base + 3 tails
+    # replay the golden fold cut at each epoch's applied segments
+    segs = sorted(f for f in os.listdir(log_dir))
+    for n_applied in range(len(segs) + 1):
+        epoch = 1 + n_applied  # epoch 1 = base seed
+        expected = fold_events(
+            base,
+            pa.concat_tables(
+                [pq.read_table(os.path.join(log_dir, f)) for f in segs[:n_applied]]
+            ) if n_applied else all_events.slice(0, 0),
+        )
+        got = collect(lake.read(epoch=epoch))
+        assert_eq(got, expected)
+    # unknown epoch → LookupError with guidance
+    with pytest.raises(LookupError):
+        lake.manifest(epoch=9999)
+    # retention: keep 2 snapshots; older epochs become unreadable, newest
+    # retained old epoch still replays exactly
+    lake.vacuum(keep_epochs=2)
+    kept = lake.epochs()
+    assert len(kept) == 2 and kept[-1] == lake.manifest()["epoch"]
+    with pytest.raises(LookupError):
+        lake.manifest(epoch=epochs[0])
+    again = collect(lake.read(epoch=kept[0]))
+    n_applied = kept[0] - 1
+    expected = fold_events(
+        base,
+        pa.concat_tables(
+            [pq.read_table(os.path.join(log_dir, f)) for f in segs[:n_applied]]
+        ) if n_applied else all_events.slice(0, 0),
+    )
+    assert_eq(again, expected)
