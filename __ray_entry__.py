@@ -674,6 +674,15 @@ def q_simhash_signatures(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT word-3-gram Jaccard pairs ≥ 0.4 (the n-gram Jaccard member
+    of the dedup family) — co-occurrence join on shared grams, fully
+    checkable in SQL, unlike the MinHash sketch."""
+    from raycdc.extras.dedup import exact_jaccard_pairs
+
+    return exact_jaccard_pairs(_docs(sf_dir), threshold=0.4, n=3)
+
+
 def q_lang_id(sf_dir: str):
     from raycdc.extras.text import LangId
 
@@ -798,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_signatures": q_simhash_signatures,
+        "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -953,6 +963,32 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
             FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                                      '\\s+', ' ', 'g')), ' ') AS words
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+              FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) s
+              WHERE len(words) >= 3
+              UNION
+              SELECT DISTINCT doc_id, array_to_string(words, ' ') AS gram
+              FROM w WHERE len(words) < 3),
+            sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, inter,
+                   inter * 1.0 / (sa.n + sb.n - inter) AS jacc
+            FROM p
+            JOIN sz sa ON sa.doc_id = p.id_a
+            JOIN sz sb ON sb.doc_id = p.id_b
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.4
         """,
         "deterministic_sample": """
             SELECT doc_id, lang, source, n_chars

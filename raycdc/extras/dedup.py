@@ -615,3 +615,190 @@ def ngram_jaccard_pairs(
     pt = pa.table({"id_a": pa.array([a for a, _ in pairs]),
                    "id_b": pa.array([b for _, b in pairs])})
     return verify_jaccard_pairs(ds, pt, text_col=text_col, id_col=id_col, k=k, threshold=0.0)
+
+
+# ---------------------------------------------------------- n-gram jaccard
+def explode_ngrams(ds: ray.data.Dataset, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3) -> ray.data.Dataset:
+    """DISTINCT word-``n``-grams per document as (id, gram, n_grams)
+    rows — the exact-Jaccard substrate. One vectorized pass per batch:
+    Arrow lower/normalize/split, ``binary_join_element_wise`` builds all
+    gram strings in C, a numpy mask drops grams crossing document
+    boundaries, pandas ``drop_duplicates`` dedups (C hash table).
+    Documents with fewer than ``n`` words contribute their whole
+    normalized text as ONE gram (mirrors :func:`jaccard` and the SQL
+    oracle). ``n_grams`` (the doc's distinct-gram count) rides along on
+    every row so downstream never joins a separate sizes table."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        id_type = ids.type
+        empty = pa.table({
+            id_col: pa.array([], id_type), "gram": pa.array([], pa.string()),
+            "n_grams": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(t[text_col], "")), pattern=r"\s+",
+                replacement=" ",
+            )
+        )
+        words = pc.split_pattern(norm, pattern=" ").combine_chunks()
+        offs = np.asarray(words.offsets)
+        counts = offs[1:] - offs[:-1]
+        flat = words.values
+        total = len(flat)
+        doc_parts = []
+        gram_parts = []
+        if total >= n:
+            slices = [flat.slice(k, total - n + 1) for k in range(n)]
+            grams = pc.binary_join_element_wise(*slices, " ")
+            pos = np.arange(total - n + 1)
+            doc_of = np.searchsorted(offs, pos, side="right") - 1
+            valid = pos + n - 1 < offs[doc_of + 1]
+            if valid.any():
+                gram_parts.append(grams.filter(pa.array(valid)))
+                doc_parts.append(doc_of[valid])
+        short = np.flatnonzero(counts < n)
+        if len(short):
+            gram_parts.append(norm.combine_chunks().take(pa.array(short)))
+            doc_parts.append(short)
+        if not gram_parts:
+            return empty
+        gram_all = pa.concat_arrays([g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g for g in gram_parts])
+        doc_all = np.concatenate(doc_parts)
+        import pandas as pd
+
+        df = pd.DataFrame({"d": doc_all, "g": gram_all.to_pandas()})
+        df = df.drop_duplicates()
+        sizes = df.groupby("d", sort=False)["g"].transform("size").to_numpy(np.int64)
+        return pa.table({
+            id_col: ids.take(pa.array(df["d"].to_numpy())),
+            "gram": pa.array(df["g"].to_numpy(dtype=object), pa.string()),
+            "n_grams": pa.array(sizes),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def exact_jaccard_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    max_docs_per_gram: int = 4096,
+    metrics_name: str | None = None,
+) -> ray.data.Dataset:
+    """EXACT word-n-gram Jaccard near-duplicate pairs (the brief's
+    "n-gram Jaccard" dedup family member): co-occurrence join on shared
+    grams — two docs meet iff they share ≥1 gram, so intersection counts
+    are exact, unlike MinHash's sketch estimate.
+
+    Scale shape: explode → ONE hash-bucket shuffle on gram → per-bucket
+    vectorized run detection; only grams shared by ≥2 docs generate
+    pairs; a second bounded bucket shuffle aggregates intersection
+    counts. The inherent hazard of exact co-occurrence is a stop-gram
+    shared by b docs emitting O(b²) pairs — ``max_docs_per_gram`` caps
+    each gram's member list (deterministic: sorted, first N kept; drops
+    counted into the metrics actor). Exactness holds whenever no gram
+    exceeds the cap; corpora past that regime should use
+    :func:`minhash_near_dup` (sketch) instead.
+    """
+    from raycdc.util import splitmix64, str_hash_u64
+
+    grams = explode_ngrams(ds, text_col=text_col, id_col=id_col, n=n)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_bucket", pa.array([], pa.int32()))
+        b = (str_hash_u64(t["gram"]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("_bucket", pa.array(b))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        id_type = g.schema.field(id_col).type
+        empty = pa.table({
+            "id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+            "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64()),
+        })
+        g = g.drop_columns(["_bucket"])
+        if g.num_rows < 2:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[("gram", "ascending"), (id_col, "ascending")])
+        g = g.take(idx)
+        gr = g.column("gram").combine_chunks()
+        m = g.num_rows
+        neq = np.ones(m, dtype=bool)
+        neq[1:] = np.asarray(pc.not_equal(gr.slice(1), gr.slice(0, m - 1)).fill_null(True))
+        starts = np.flatnonzero(neq)
+        ends = np.append(starts[1:], m)
+        lens = ends - starts
+        ids_np = g.column(id_col).to_pandas().to_numpy()
+        nn = np.asarray(g.column("n_grams").combine_chunks())
+        ia, ib = [], []
+        dropped = 0
+        for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
+            if L > max_docs_per_gram:
+                dropped += int(L - max_docs_per_gram)
+                L = max_docs_per_gram
+            iu, ju = np.triu_indices(L, k=1)
+            ia.append(s + iu)
+            ib.append(s + ju)
+        if dropped and metrics_name:
+            from raycdc.metrics import Metrics
+
+            Metrics(metrics_name).incr("ngram_gram_members_dropped", dropped)
+        if not ia:
+            return empty
+        ai = np.concatenate(ia)
+        bi = np.concatenate(ib)
+        return pa.table({
+            "id_a": pa.array(ids_np[ai], id_type),
+            "id_b": pa.array(ids_np[bi], id_type),
+            "na": pa.array(nn[ai].astype(np.int64)),
+            "nb": pa.array(nn[bi].astype(np.int64)),
+        })
+
+    co = grams.map_batches(stamp, batch_format="pyarrow").groupby("_bucket").map_groups(
+        pairs, batch_format="pyarrow"
+    )
+
+    def stamp_pair(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_bucket", pa.array([], pa.int32()))
+        h = splitmix64(str_hash_u64(t["id_a"]) ^ splitmix64(str_hash_u64(t["id_b"])))
+        return t.append_column("_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    def score(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        id_type = g.schema.field("id_a").type
+        empty = pa.table({
+            "id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+            "inter": pa.array([], pa.int64()), "jacc": pa.array([], pa.float64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        import pandas as pd
+
+        df = g.to_pandas()
+        agg = df.groupby(["id_a", "id_b"], sort=False).agg(
+            inter=("na", "size"), na=("na", "first"), nb=("nb", "first")
+        ).reset_index()
+        jacc = agg["inter"] / (agg["na"] + agg["nb"] - agg["inter"])
+        keep = jacc >= threshold
+        agg = agg[keep]
+        return pa.table({
+            "id_a": pa.array(agg["id_a"].to_numpy(), id_type),
+            "id_b": pa.array(agg["id_b"].to_numpy(), id_type),
+            "inter": pa.array(agg["inter"].to_numpy(np.int64)),
+            # raw float64 quotient of exact small ints — bit-identical to
+            # the SQL oracle's division, so no rounding on either side
+            "jacc": pa.array(jacc[keep].to_numpy(np.float64)),
+        })
+
+    return co.map_batches(stamp_pair, batch_format="pyarrow").groupby("_bucket").map_groups(
+        score, batch_format="pyarrow"
+    )

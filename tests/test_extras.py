@@ -432,3 +432,32 @@ def test_codec_registry_external_decoder_flows_through():
         assert np.allclose(feats[:3], expect_means, atol=1e-6)
     finally:
         DECODERS.pop("raw12", None)
+
+
+def test_ngram_jaccard_exact_pairs():
+    """Exact co-occurrence n-gram Jaccard: matches the reference
+    jaccard() on every emitted pair; partitioning-independent; short and
+    null docs fall back to whole-text grams."""
+    from raycdc.extras.dedup import exact_jaccard_pairs, jaccard
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog today",
+        "le chat est sur la table et il est content",
+        "completely different content about databases and queries here",
+        "tiny doc",
+        "tiny doc",
+        None,
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    out = collect(exact_jaccard_pairs(rd.from_arrow(t), threshold=0.2, n=3))
+    got = {(r["id_a"], r["id_b"]): r["jacc"] for r in out.to_pylist()}
+    assert got[(0, 1)] == 1.0 and got[(5, 6)] == 1.0
+    assert abs(got[(0, 2)] - jaccard(texts[0], texts[2], k=3)) < 1e-12
+    assert all(a < b for a, b in got)
+    assert not any(3 in p or 4 in p or 7 in p for p in got)
+    # same pair set at different parallelism
+    out2 = collect(exact_jaccard_pairs(rd.from_arrow(t).repartition(5), threshold=0.2, n=3))
+    got2 = {(r["id_a"], r["id_b"]): r["jacc"] for r in out2.to_pylist()}
+    assert got == got2
