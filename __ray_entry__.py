@@ -674,6 +674,47 @@ def q_simhash_signatures(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def q_asof_join_orders(sf_dir: str):
+    """Backward as-of join (custom operator Ray Data lacks): each event
+    picks its user's latest order at-or-before the event time, with a
+    deterministic (max o_orderkey) tie-break so replay and the SQL
+    window oracle agree bit-for-bit."""
+    from raycdc.ops import asof_join
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]), batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+    return asof_join(
+        ev, orders, on_left="ts", on_right="o_orderdate",
+        by_left="user_id", by_right="o_custkey", tiebreak="o_orderkey",
+    )
+
+
+def q_events_hourly_window(sf_dir: str):
+    """Tumbling-window aggregate (streaming-window custom operator):
+    hourly event counts + value sums per event_type, epoch-aligned so
+    the SQL oracle computes the identical integer window stamp. The sum
+    runs in integer CENTS (values are cents-quantized) so the result is
+    exact under any summation order — float sums would differ in the
+    last ulp between engines."""
+    from raycdc.ops import tumbling_window_agg
+
+    cents = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "ts", "event_type"]).append_column(
+            "cents", pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    return tumbling_window_agg(
+        cents, "ts", every_s=3600, keys=["event_type"],
+        specs={"n": ("event_id", "count"), "sum_cents": ("cents", "sum")},
+    )
+
+
 def q_ngram_jaccard(sf_dir: str):
     """EXACT word-3-gram Jaccard pairs ≥ 0.4 (the n-gram Jaccard member
     of the dedup family) — co-occurrence join on shared grams, fully
@@ -808,6 +849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_signatures": q_simhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
+        "asof_join_orders": q_asof_join_orders,
+        "events_hourly_window": q_events_hourly_window,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -963,6 +1006,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
             FROM documents GROUP BY md5(text)
+        """,
+        "events_hourly_window": """
+            SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                     AS window_start,
+                   event_type,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "asof_join_orders": """
+            WITH j AS (
+              SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              LEFT JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+            SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+            FROM j WHERE rn = 1
         """,
         "ngram_jaccard": """
             WITH w AS (

@@ -439,3 +439,186 @@ def grouped_min_broadcast(
                 "use a distributed broadcast-join path for high-cardinality keys"
             )
     return out
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on_left: str,
+    on_right: str,
+    by_left: str,
+    by_right: str,
+    how: str = "left",
+    tiebreak: str | None = None,
+    num_buckets: int = 32,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Distributed backward as-of join — for every left row, the single
+    right row with the greatest ``on_right`` ≤ ``on_left`` among rows
+    sharing the ``by`` key (the classic event→latest-state lookup Ray
+    Data has no primitive for; DuckDB's ``ASOF JOIN``).
+
+    Shape: the same single bounded-fan-out shuffle as :func:`hash_join`
+    (both sides conformed + ``_side``-tagged + bucketed on the by-key,
+    ONE groupby), with the per-bucket probe a vectorized
+    ``pandas.merge_asof`` over (key, position) only — payload columns
+    are gathered by Arrow take afterwards.
+
+    Determinism: when several right rows tie on ``on_right``, the winner
+    is the one with the greatest ``tiebreak`` column value (pass one for
+    replay-stable output — merge_asof alone would pick whichever row the
+    partitioning delivered last). SQL-equivalent semantics: right rows
+    with a NULL key or NULL time never match; left rows with a NULL time
+    match nothing (how='left' keeps them with a null right side).
+
+    Partitioning assumption (documented contract): one bucket's rows fit
+    a worker — raise ``num_buckets`` for bigger data, salt upstream for
+    a pathological hot key.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    from raycdc.util import bucket_of
+
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
+    rkeep = [n for n in rsch.names if n != by_right]
+    rename = {n: f"{n}_r" for n in rkeep if n in lcols}
+    rcols_out = [rename.get(n, n) for n in rkeep]
+    on_right_out = rename.get(on_right, on_right)
+    tb_out = rename.get(tiebreak, tiebreak) if tiebreak else None
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = {rename.get(n, n): t for n, t in zip(rsch.names, rsch.types) if n != by_right}
+    # the by-key rides in ONE shared column so both sides bucket identically
+    unified = pa.schema(
+        [(n, ltypes[n]) for n in lcols]
+        + [(n, rtypes[n]) for n in rcols_out]
+        + [("_side", pa.int8())]
+    )
+
+    def conform(side: int, colmap: dict, key_src: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = []
+            for f in unified:
+                if f.name == "_side":
+                    cols.append(pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+                elif f.name == by_left and side == 1:
+                    cols.append(t.column(key_src).cast(f.type))
+                else:
+                    src = colmap.get(f.name)
+                    if src is not None and src in t.column_names:
+                        cols.append(t.column(src).cast(f.type))
+                    else:
+                        cols.append(pa.nulls(t.num_rows, type=f.type))
+            out = pa.Table.from_arrays(cols, schema=unified)
+            return out.append_column(
+                "_bucket", pa.array(bucket_of(out.column(by_left), num_buckets))
+            )
+
+        return fn
+
+    lmap = {n: n for n in lcols}
+    rmap = {rename.get(n, n): n for n in rkeep}
+    tagged = left.map_batches(
+        conform(0, lmap, by_left), batch_format="pyarrow", batch_size=batch_size
+    ).union(
+        right.map_batches(conform(1, rmap, by_right), batch_format="pyarrow", batch_size=batch_size)
+    )
+
+    left_only = [n for n in lcols if n != by_left]
+    want = pa.schema([(f.name, f.type) for f in unified if f.name != "_side"])
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = np.asarray(g["_side"])
+        lt = g.filter(pa.array(side == 0)).select([by_left, *left_only]).combine_chunks()
+        rt = g.filter(pa.array(side == 1)).select([by_left, *rcols_out]).combine_chunks()
+        ok = pc.and_(pc.is_valid(rt.column(by_left)), pc.is_valid(rt.column(on_right_out)))
+        rt = rt.filter(ok)
+        # deterministic winner among on_right ties: sort right ascending by
+        # (time, tiebreak); merge_asof keeps the LAST equal-time row
+        rsort = [(on_right_out, "ascending")] + (
+            [(tb_out, "ascending")] if tb_out else []
+        )
+        rt = rt.take(pc.sort_indices(rt, sort_keys=rsort))
+        # a null time matches nothing; a null by-key matches nothing
+        # (merge_asof also refuses null 'by' values) — both take the
+        # unmatched path
+        lvalid = pc.and_(pc.is_valid(lt.column(on_left)), pc.is_valid(lt.column(by_left)))
+        lt_ok = lt.filter(lvalid)
+        lt_null = lt.filter(pc.invert(lvalid))
+        li_ok = np.flatnonzero(np.asarray(lvalid))
+        lsorted = np.argsort(
+            lt_ok.column(on_left).to_pandas().to_numpy(), kind="stable"
+        )
+        m = pd.merge_asof(
+            pd.DataFrame(
+                {
+                    "t": lt_ok.column(on_left).to_pandas().to_numpy()[lsorted],
+                    "k": lt_ok.column(by_left).to_pandas().to_numpy()[lsorted],
+                    "li": li_ok[lsorted],
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "t": rt.column(on_right_out).to_pandas(),
+                    "k": rt.column(by_left).to_pandas(),
+                    "ri": np.arange(rt.num_rows),
+                }
+            ),
+            on="t",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        li = m["li"].to_numpy(np.int64)
+        ri = pa.Array.from_pandas(m["ri"].astype("Int64"))
+        if lt_null.num_rows:  # null-time left rows: no match by definition
+            li = np.concatenate([li, np.flatnonzero(~np.asarray(lvalid))])
+            ri = pa.concat_arrays(
+                [ri.combine_chunks() if isinstance(ri, pa.ChunkedArray) else ri,
+                 pa.nulls(lt_null.num_rows, pa.int64())]
+            )
+        li_arr = pa.array(li)
+        named = {c: lt.column(c).take(li_arr) for c in (by_left, *left_only)}
+        named.update({c: rt.column(c).take(ri) for c in rcols_out})
+        out = pa.Table.from_arrays([named[f.name] for f in want], schema=want)
+        if how == "inner":
+            out = out.filter(pc.is_valid(out.column(on_right_out)))
+        return out
+
+    return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def tumbling_window_agg(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    every_s: float,
+    keys: list[str] | None = None,
+    specs: dict[str, tuple[str, str]] | None = None,
+    out_col: str = "window_start",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Tumbling-window aggregate (the streaming-window custom operator):
+    each row is stamped with its epoch-aligned window start —
+    ``floor(epoch_us(ts) / every) * every`` vectorized in numpy — and the
+    aggregation runs through the :func:`partial_groupby_agg` combiner, so
+    only (window, keys) partials shuffle, never events. Epoch alignment
+    (not DuckDB's ``time_bucket`` origin) keeps the stamp a pure integer
+    function both engines compute identically; windows with no events
+    simply don't appear (sparse semantics, like SQL GROUP BY)."""
+    every_us = np.int64(round(every_s * 1_000_000))
+    if every_us <= 0:
+        raise ValueError("every_s must be positive")
+
+    def stamp(t: pa.Table) -> pa.Table:
+        us = np.asarray(t.column(ts_col).cast(pa.int64()).combine_chunks())
+        ws = (us // every_us) * every_us
+        col = pa.array(ws).cast(pa.timestamp("us"))
+        return t.append_column(out_col, col)
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+    return partial_groupby_agg(
+        stamped, [out_col, *(keys or [])], specs or {"n": (ts_col, "count")},
+        batch_size=batch_size,
+    )

@@ -269,3 +269,76 @@ def test_top_k_grouped_null_keys_one_group():
         by_grp.setdefault(r["grp"], set()).add(r["id"])
     assert by_grp[None] == {1, 2}  # top-2 of the single NULL group (scores 9, 7)
     assert by_grp["a"] == {4, 5} and by_grp["b"] == {6}
+
+
+def test_asof_join_semantics():
+    """Backward as-of join: greatest right time <= left time per key,
+    deterministic max-tiebreak among ties, SQL null semantics, stable
+    under repartitioning."""
+    import numpy as np
+    import ray.data as rd
+
+    from raycdc.ops import asof_join
+
+    left = pa.table({
+        "eid": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "uid": pa.array([1, 1, 2, 2, None, 3], pa.int64()),
+        "ts": pa.array([10, 25, 5, 30, 9, None], pa.int64()),
+    })
+    right = pa.table({
+        "cust": pa.array([1, 1, 1, 2, 2, None], pa.int64()),
+        "okey": pa.array([100, 101, 102, 200, 201, 300], pa.int64()),
+        "odate": pa.array([5, 20, 20, 6, 40, 1], pa.int64()),
+    })
+
+    def run(l, r, **kw):
+        out = asof_join(l, r, on_left="ts", on_right="odate",
+                        by_left="uid", by_right="cust", tiebreak="okey", **kw)
+        t = pa.concat_tables(list(out.iter_batches(batch_size=None, batch_format="pyarrow")))
+        return {r_["eid"]: (r_["okey"], r_["odate"]) for r_ in t.to_pylist()}
+
+    got = run(rd.from_arrow(left), rd.from_arrow(right))
+    assert got[1] == (100, 5)       # only odate 5 <= 10
+    assert got[2] == (102, 20)      # tie at odate 20 -> max okey wins
+    assert got[3] == (None, None)   # no order at-or-before
+    assert got[4] == (200, 6)       # odate 40 > 30 excluded
+    assert got[5] == (None, None)   # null by-key never matches
+    assert got[6] == (None, None)   # null left time matches nothing
+    # repartitioned inputs give the identical mapping
+    got2 = run(rd.from_arrow(left).repartition(4), rd.from_arrow(right).repartition(3))
+    assert got == got2
+    # inner drops unmatched rows
+    out_inner = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                          on_left="ts", on_right="odate", by_left="uid",
+                          by_right="cust", tiebreak="okey", how="inner")
+    t = pa.concat_tables(list(out_inner.iter_batches(batch_size=None, batch_format="pyarrow")))
+    assert sorted(t["eid"].to_pylist()) == [1, 2, 4]
+
+
+def test_tumbling_window_agg():
+    import ray.data as rd
+
+    from raycdc.ops import tumbling_window_agg
+
+    us = 1_000_000
+    t = pa.table({
+        "ts": pa.array([0, 30 * us, 60 * us, 61 * us, 125 * us], pa.int64()).cast(
+            pa.timestamp("us")
+        ),
+        "k": pa.array(["a", "b", "a", "a", "b"]),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = tumbling_window_agg(
+        rd.from_arrow(t), "ts", every_s=60, keys=["k"],
+        specs={"n": ("v", "count"), "s": ("v", "sum")},
+    )
+    rows = {
+        (r["window_start"].timestamp(), r["k"]): (r["n"], r["s"])
+        for r in pa.concat_tables(
+            list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+        ).to_pylist()
+    }
+    assert rows == {
+        (0.0, "a"): (1, 1), (0.0, "b"): (1, 2),
+        (60.0, "a"): (2, 7), (120.0, "b"): (1, 5),
+    }
