@@ -9,7 +9,8 @@ service → wire processors → run flow → watch stats):
     python -m raycdc tail   LAKE LOG_DIR [--dead-letter DIR] [--rules rules.json]
                                          [--segments-per-epoch N] [--watch SECONDS]
     python -m raycdc status LAKE [--exact]
-    python -m raycdc read   LAKE --out DIR
+    python -m raycdc epochs LAKE
+    python -m raycdc read   LAKE --out DIR [--epoch N]
     python -m raycdc vacuum LAKE [--keep 1]
     python -m raycdc compact LAKE [--drop-tombstones]
 
@@ -79,6 +80,12 @@ def main(argv=None) -> int:
     rd_ = sub.add_parser("read", help="export the converged table snapshot")
     rd_.add_argument("lake")
     rd_.add_argument("--out", required=True)
+    rd_.add_argument("--epoch", type=int, default=None,
+                     help="time-travel: read the table state as of this committed "
+                          "epoch (any snapshot retained by vacuum --keep)")
+
+    ep = sub.add_parser("epochs", help="list epochs readable via read --epoch")
+    ep.add_argument("lake")
 
     vp = sub.add_parser("vacuum", help="drop unreferenced old epoch files")
     vp.add_argument("lake")
@@ -187,9 +194,13 @@ def main(argv=None) -> int:
         )
         return 0
 
+    if args.cmd == "epochs":
+        print(json.dumps({"epochs": lk.epochs(), "current": lk.manifest()["epoch"]}))
+        return 0
+
     if args.cmd == "read":
         _ray_up(args.num_cpus)
-        ds = lk.read()
+        ds = lk.read(epoch=args.epoch)
         ds.write_parquet(args.out)
         import pyarrow.parquet as pq
 

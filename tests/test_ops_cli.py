@@ -87,6 +87,14 @@ def test_cli_lifecycle(tmp_path, capsys):
 
     assert pq.read_table(snap).num_rows == status["live_rows"]
 
+    # time travel: list epochs, export the pre-tail (base-only) state
+    assert main(["epochs", lake]) == 0
+    eps = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert eps["current"] == 2 and 1 in eps["epochs"]
+    tt = str(tmp_path / "snap_e1")
+    assert main(["read", lake, "--out", tt, "--epoch", "1"]) == 0
+    assert pq.read_table(tt).num_rows == 500  # the seeded base, pre-events
+
     assert main(["vacuum", lake]) == 0
 
 
