@@ -506,11 +506,15 @@ def q_knn_brute(sf_dir: str):
             return out.take(idx)
 
     ds = rd.read_parquet(emb_path).map_batches(Score, batch_format="pyarrow", concurrency=2)
-    top = ds.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
-    return top.map_batches(
-        lambda t: t.set_column(t.column_names.index("sim"), "sim", pc.round(t["sim"], 6)),
-        batch_format="pyarrow",
-    )
+
+    # candidates ≤ 10 × n_batches rows by construction → one-task fold
+    # (Ray's Sort operator costs seconds of fixed overhead on tiny data)
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("sim", "descending"), ("vec_id", "ascending")])[:10]
+        out = t.take(idx)
+        return out.set_column(out.column_names.index("sim"), "sim", pc.round(out["sim"], 6))
+
+    return ds.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
 
 
 def q_knn_multi(sf_dir: str):

@@ -157,9 +157,16 @@ def top_k(
             return t.take(pc.sort_indices(t, sort_keys=order)[:k])
 
         pruned = ds.map_batches(prune, batch_format="pyarrow", batch_size=batch_size)
-        keys = [by] + ([tiebreak] if tiebreak else [])
-        desc = [descending] + ([False] if tiebreak else [])
-        return pruned.sort(keys, descending=desc).limit(k)
+
+        # candidates ≤ k × n_batches rows by construction → fold in ONE
+        # task; ds.sort().limit() would pay the Sort operator's multi-
+        # second sample/shuffle fixed cost on a few hundred rows
+        def final(t: pa.Table) -> pa.Table:
+            return t.take(pc.sort_indices(t, sort_keys=order)[:k])
+
+        return pruned.repartition(1).map_batches(
+            final, batch_format="pyarrow", batch_size=None
+        )
 
     from raycdc.util import bucket_of
 
