@@ -698,6 +698,24 @@ def q_asof_join_orders(sf_dir: str):
     )
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic sampling rates (corpus re-weighting):
+    keep 1/16 of en, 4/16 of fr, 2/16 of everything else — a pure
+    function of doc_id, so the kept set is replay-stable.
+    hash_kernel="md5" because the SAMPLED SET is the output and DuckDB
+    runs the identical expression; the engine default is the vectorized
+    siphash kernel."""
+    from raycdc.ops import stratified_sample
+
+    out = stratified_sample(
+        _docs(sf_dir), "doc_id", "lang", {"en": 1, "fr": 4},
+        default_sixteenths=2, hash_kernel="md5",
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang", "source", "n_chars"]), batch_format="pyarrow"
+    )
+
+
 def q_events_hourly_window(sf_dir: str):
     """Tumbling-window aggregate (streaming-window custom operator):
     hourly event counts + value sums per event_type, epoch-aligned so
@@ -855,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "asof_join_orders": q_asof_join_orders,
         "events_hourly_window": q_events_hourly_window,
+        "stratified_sample": q_stratified_sample,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -1010,6 +1029,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
             FROM documents GROUP BY md5(text)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE doc_id IS NOT NULL
+              AND (strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                  < CASE coalesce(lang, '')
+                      WHEN 'en' THEN 1 WHEN 'fr' THEN 4 ELSE 2 END
         """,
         "events_hourly_window": """
             SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)

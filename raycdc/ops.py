@@ -629,3 +629,59 @@ def tumbling_window_agg(
         stamped, [out_col, *(keys or [])], specs or {"n": (ts_col, "count")},
         batch_size=batch_size,
     )
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    key: str,
+    group_col: str,
+    rates: dict,
+    default_sixteenths: int = 2,
+    batch_size: int = 65536,
+    hash_kernel: str = "sip",
+) -> ray.data.Dataset:
+    """Per-group deterministic sampling: each row keeps with probability
+    ``rates.get(group)/16`` (``default_sixteenths`` otherwise), decided by
+    a pure hash of ``key`` — the curation move of re-weighting a corpus by
+    language/source while staying replay-stable and partitioning-
+    independent (rerun ⇒ identical row set; see
+    :func:`deterministic_sample` for the kernel contract; null keys are
+    never kept, null groups take the default rate)."""
+    for g, r in rates.items():
+        if not 0 <= int(r) <= 16:
+            raise ValueError(f"rate for {g!r} must be in [0, 16]")
+    if not 0 <= default_sixteenths <= 16:
+        raise ValueError("default_sixteenths must be in [0, 16]")
+
+    def pick(t: pa.Table) -> pa.Table:
+        col = t.column(key).cast(pa.string())
+        rate = (
+            t.column(group_col)
+            .to_pandas()
+            .map(rates)
+            .fillna(default_sixteenths)
+            .to_numpy(np.int64)
+            .astype(np.uint64)
+        )
+        if hash_kernel == "sip":
+            from raycdc.util import str_hash_u64
+
+            h = str_hash_u64(col)
+            keep_np = (h % np.uint64(16)) < rate
+        elif hash_kernel == "md5":
+            import hashlib
+
+            vals = col.to_pylist()
+            hexes = "0123456789abcdef"
+            keep_np = np.array(
+                [
+                    v is not None and hexes.index(hashlib.md5(v.encode()).hexdigest()[0]) < r
+                    for v, r in zip(vals, rate)
+                ]
+            )
+        else:
+            raise ValueError(f"unknown hash kernel {hash_kernel!r}")
+        valid = np.asarray(pc.is_valid(col.combine_chunks()))
+        return t.filter(pa.array(keep_np & valid))
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=batch_size)

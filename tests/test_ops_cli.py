@@ -350,3 +350,35 @@ def test_tumbling_window_agg():
         (0.0, "a"): (1, 1), (0.0, "b"): (1, 2),
         (60.0, "a"): (2, 7), (120.0, "b"): (1, 5),
     }
+
+
+def test_stratified_sample():
+    import ray.data as rd
+
+    from raycdc.ops import stratified_sample
+
+    n = 3000
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n)] + [None]),
+        "lang": pa.array((["en", "fr", "de"] * (n // 3 + 1))[: n + 1]),
+    })
+    for kernel in ("sip", "md5"):
+        a = pa.concat_tables(list(
+            stratified_sample(rd.from_arrow(t), "doc_id", "lang",
+                              {"en": 0, "fr": 8}, default_sixteenths=2,
+                              hash_kernel=kernel)
+            .iter_batches(batch_size=None, batch_format="pyarrow")))
+        langs = a["lang"].to_pylist()
+        assert "en" not in langs  # rate 0 drops everything
+        n_fr = langs.count("fr")
+        n_de = langs.count("de")
+        assert 0.35 < n_fr / 1000 < 0.65, kernel   # ~8/16
+        assert 0.05 < n_de / 1000 < 0.22, kernel   # ~2/16 default
+        assert None not in a["doc_id"].to_pylist()
+        # partitioning independence
+        b = pa.concat_tables(list(
+            stratified_sample(rd.from_arrow(t).repartition(6), "doc_id", "lang",
+                              {"en": 0, "fr": 8}, default_sixteenths=2,
+                              hash_kernel=kernel)
+            .iter_batches(batch_size=None, batch_format="pyarrow")))
+        assert sorted(a["doc_id"].to_pylist()) == sorted(b["doc_id"].to_pylist())
