@@ -188,7 +188,7 @@ def apply_changeset(
       column EXCEPT the key (accept-as-new-series,
       ``DecryptReidentifyDICOM.java:170-188``).
     """
-    from raycdc.routing import ROUTE_COL, ROUTE_OK
+    from raycdc.routing import ROUTE_OK
 
     if batch.num_rows == 0:
         # from_pylist([]) would collapse the schema to zero columns and
