@@ -698,6 +698,33 @@ def q_asof_join_orders(sf_dir: str):
     )
 
 
+def q_range_join_windows(sf_dir: str):
+    """Keyed interval join: every 'error' event opens a 1-hour review
+    window on its user; each event is paired with EVERY window of its
+    user containing its time (a row can match several windows — unlike
+    the as-of join's single winner)."""
+    from raycdc.ops import range_join
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]), batch_format="pyarrow"
+    )
+
+    def win(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        lo = t["ts"]
+        hi = pc.add(lo.cast(pa.int64()), 3_600_000_000).cast(pa.timestamp("us"))
+        return pa.table({
+            "user_id": t["user_id"], "win_id": t["event_id"],
+            "win_lo": lo, "win_hi": hi,
+        })
+
+    windows = _ev(sf_dir).map_batches(win, batch_format="pyarrow")
+    out = range_join(ev, windows, key="user_id", on="ts", lo="win_lo", hi="win_hi")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "win_id"]), batch_format="pyarrow"
+    )
+
+
 def q_stratified_sample(sf_dir: str):
     """Per-language deterministic sampling rates (corpus re-weighting):
     keep 1/16 of en, 4/16 of fr, 2/16 of everything else — a pure
@@ -874,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_orders": q_asof_join_orders,
         "events_hourly_window": q_events_hourly_window,
         "stratified_sample": q_stratified_sample,
+        "range_join_windows": q_range_join_windows,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -1029,6 +1057,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
             FROM documents GROUP BY md5(text)
+        """,
+        "range_join_windows": """
+            SELECT e.event_id,
+                   e.user_id,
+                   w.event_id AS win_id
+            FROM events e
+            JOIN events w
+              ON w.user_id = e.user_id
+             AND w.event_type = 'error'
+             AND e.ts BETWEEN w.ts AND w.ts + INTERVAL 1 HOUR
         """,
         "stratified_sample": """
             SELECT doc_id, lang, source, n_chars

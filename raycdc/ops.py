@@ -685,3 +685,34 @@ def stratified_sample(
         return t.filter(pa.array(keep_np & valid))
 
     return ds.map_batches(pick, batch_format="pyarrow", batch_size=batch_size)
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    on: str,
+    lo: str,
+    hi: str,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Keyed interval join (inner): left rows paired with every right row
+    of the same ``key`` whose ``[lo, hi]`` interval contains ``on``
+    (inclusive, SQL ``BETWEEN``). Composition: the :func:`hash_join`
+    bounded-fan-out shuffle co-locates keys, then a vectorized Arrow
+    range filter — the extra rows a naive approach would shuffle are
+    exactly the per-key equi-join pairs, so the per-key pair fan-out is
+    the documented contract (key-less or hot-key interval joins should
+    bucket by time range instead and salt upstream)."""
+    joined = hash_join(left, right, key, how="inner", num_buckets=num_buckets,
+                       batch_size=batch_size)
+
+    def in_range(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column(on), t.column(lo)),
+            pc.less_equal(t.column(on), t.column(hi)),
+        )
+        return t.filter(pc.fill_null(keep, False))
+
+    return joined.map_batches(in_range, batch_format="pyarrow", batch_size=batch_size)

@@ -382,3 +382,29 @@ def test_stratified_sample():
                               hash_kernel=kernel)
             .iter_batches(batch_size=None, batch_format="pyarrow")))
         assert sorted(a["doc_id"].to_pylist()) == sorted(b["doc_id"].to_pylist())
+
+
+def test_range_join():
+    import ray.data as rd
+
+    from raycdc.ops import range_join
+
+    left = pa.table({
+        "eid": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array([1, 1, 2, 1], pa.int64()),
+        "t": pa.array([5, 15, 5, None], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "w": pa.array([10, 11, 12], pa.int64()),
+        "lo": pa.array([0, 10, 6], pa.int64()),
+        "hi": pa.array([10, 20, 9], pa.int64()),
+    })
+    out = pa.concat_tables(list(
+        range_join(rd.from_arrow(left), rd.from_arrow(right), key="k",
+                   on="t", lo="lo", hi="hi")
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    got = sorted((r["eid"], r["w"]) for r in out.to_pylist())
+    # eid 1 (t=5) in [0,10] only; eid 2 (t=15) in [10,20] only; eid 3 (t=5,k=2)
+    # outside [6,9]; eid 4 has null t -> matches nothing (BETWEEN is false)
+    assert got == [(1, 10), (2, 11)]
