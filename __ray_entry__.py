@@ -6,9 +6,11 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` exposes one entry per implemented operator/pipeline from
 SURVEY.md §2 (+ the training-data extras); ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for every SQL-expressible one, with matching
-column names. Non-SQL-expressible entries (the synthesized-token CDC
-replay, MinHash/SimHash near-dup, language-ID, ANN variants) are
-rows-only checked by the driver.
+column names. The rows-only entries (the synthesized-token CDC replay,
+MinHash/SimHash sketches, LSH and IVF approximate paths, block-local
+packing, multimodal features, metrics) are approximate or stateful by
+nature; each is pytest-gated instead (exact-fold, IVF-vs-brute, PPM
+round-trip).
 """
 
 from __future__ import annotations
