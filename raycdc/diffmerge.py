@@ -165,7 +165,9 @@ def compute_changeset(
     blobs = []
     for i in range(n_rows):
         patch = {"expect": {key: keys_new[i]}, "restore": restores[i]}
-        raw = json.dumps(patch, sort_keys=True).encode()
+        # compact separators: the envelope rides on every row of a
+        # 10^10-row stream — whitespace is ~15 % of the payload
+        raw = json.dumps(patch, sort_keys=True, separators=(",", ":")).encode()
         blobs.append(seal(raw, password, iterations, salt, _key=derived) if password else raw)
     return transformed.append_column(CHANGESET_COL, pa.array(blobs, type=pa.binary()))
 
