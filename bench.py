@@ -228,6 +228,21 @@ def run_scaling() -> dict:
 
     # warm-up generation pass (untimed, also primes the OS page cache)
     one(8)
+    # phase gate: this host has multi-minute phases where page population
+    # runs 3-5x slower (BASELINE.md — the probe-vs-efficiency correlation
+    # table). Measuring inside one is measuring the host, not the engine,
+    # so wait for a nominal phase (bounded), recording the probe value at
+    # measurement time so every JSON is self-documenting.
+    thr = float(os.environ.get("RAYCDC_SCALING_MIN_BW_MB", "4000"))
+    max_wait_s = float(os.environ.get("RAYCDC_SCALING_PHASE_WAIT_S", "900"))
+    waited = 0.0
+    gate_bw = measure_write_bandwidth(8)
+    while gate_bw < thr and waited < max_wait_s:
+        print(f"[phase-gate] host write probe {gate_bw} MB/s < {thr}; waiting",
+              file=sys.stderr)
+        time.sleep(60)
+        waited += 60
+        gate_bw = measure_write_bandwidth(8)
     # interleave the two levels and keep the min per level: this sandbox
     # has multi-minute host phases where page population is 2-5x slower
     # (BASELINE.md caveat); alternating runs sample both levels across
@@ -269,6 +284,8 @@ def run_scaling() -> dict:
         "sf": lo["sf"],
         "n_events": lo["n_events"],
         "rounds": rounds,
+        "phase_gate_bw_mb_s": gate_bw,
+        "phase_gate_waited_s": waited,
     }
 
 
