@@ -62,6 +62,7 @@ def seal(
     iterations: int = DEFAULT_ITERATIONS,
     salt: bytes = DEFAULT_SALT,
     _key: bytes | None = None,
+    _aes=None,
 ) -> bytes:
     """Deterministic authenticated envelope: AES-256-GCM, SIV-style.
 
@@ -70,13 +71,16 @@ def seal(
     epochs) but an attacker without the password can neither confirm a
     guessed payload offline nor link equal payloads across keys (an
     unkeyed payload hash would leak both). Batch callers pass a
-    pre-derived ``_key`` so the (intentionally expensive) KDF runs once
-    per call site, not once per row."""
+    pre-derived ``_key`` (KDF once per batch, not per row) and a hoisted
+    ``_aes`` cipher object (constructing ``AESGCM`` per row costs more
+    than the encryption of a small payload); ``hmac.digest`` is the
+    one-shot C path."""
     if not HAVE_CRYPTO:  # pragma: no cover
         raise NotImplementedError("cryptography library unavailable")
     key = _key if _key is not None else _derive_key(password, iterations, salt)
-    nonce = hmac.new(key, payload, hashlib.sha256).digest()[:12]
-    return nonce + AESGCM(key).encrypt(nonce, payload, None)
+    nonce = hmac.digest(key, payload, "sha256")[:12]
+    aes = _aes if _aes is not None else AESGCM(key)
+    return nonce + aes.encrypt(nonce, payload, None)
 
 
 def unseal(
@@ -85,24 +89,62 @@ def unseal(
     iterations: int = DEFAULT_ITERATIONS,
     salt: bytes = DEFAULT_SALT,
     _key: bytes | None = None,
+    _aes=None,
 ) -> bytes | None:
     """Returns None when the password is wrong / blob corrupt (the
     'not decrypted' route), never raises for bad credentials."""
     if not HAVE_CRYPTO:  # pragma: no cover
         raise NotImplementedError("cryptography library unavailable")
-    key = _key if _key is not None else _derive_key(password, iterations, salt)
     try:
-        return AESGCM(key).decrypt(blob[:12], blob[12:], None)
+        aes = _aes
+        if aes is None:
+            key = _key if _key is not None else _derive_key(password, iterations, salt)
+            aes = AESGCM(key)
+        return aes.decrypt(blob[:12], blob[12:], None)
     except Exception:
         return None
 
 
 # ------------------------------------------------------------------ diff
+def _same_buffers(o, n) -> bool:
+    """True iff two columns are physically the same Arrow data (chunk
+    layouts and buffer addresses identical) — an O(chunks) check, never a
+    data scan. False negatives are fine (the caller falls through to the
+    value compare)."""
+    try:
+        ochunks = o.chunks if isinstance(o, pa.ChunkedArray) else [o]
+        nchunks = n.chunks if isinstance(n, pa.ChunkedArray) else [n]
+        if len(ochunks) != len(nchunks):
+            return False
+        for oc, nc in zip(ochunks, nchunks):
+            if len(oc) != len(nc) or oc.type != nc.type:
+                return False
+            ob, nb = oc.buffers(), nc.buffers()
+            if len(ob) != len(nb):
+                return False
+            for x, y in zip(ob, nb):
+                if (x is None) != (y is None):
+                    return False
+                if x is not None and (x.address != y.address or x.size != y.size):
+                    return False
+        return True
+    except (AttributeError, NotImplementedError):
+        return False
+
+
 def _changed_mask(o_col: pa.ChunkedArray, n_col: pa.ChunkedArray, n_rows: int):
     """Null-aware vectorized per-row inequality; falls back to a Python
-    compare only for types pyarrow.compute can't equal (nested lists)."""
+    compare only for types pyarrow.compute can't equal (nested lists).
+
+    Identity shortcut first: a transform that never touched a column
+    hands back a column over the SAME Arrow buffers (``Table.set_column``
+    replaces only touched columns), so untouched columns — including
+    heavy token lists, whose compare would otherwise take the per-row
+    Python fallback — cost a buffer-address check, not a scan."""
     import numpy as np
 
+    if _same_buffers(o_col, n_col):
+        return np.zeros(n_rows, dtype=bool)
     o = o_col.combine_chunks() if isinstance(o_col, pa.ChunkedArray) else o_col
     n = n_col.combine_chunks() if isinstance(n_col, pa.ChunkedArray) else n_col
     try:
@@ -162,13 +204,17 @@ def compute_changeset(
         for i, v in zip(pos, vals):
             restores[i][c] = v
     keys_new = transformed[key].to_pylist() if key in transformed.column_names else [None] * n_rows
+    aes = AESGCM(derived) if (derived is not None and HAVE_CRYPTO) else None
     blobs = []
     for i in range(n_rows):
         patch = {"expect": {key: keys_new[i]}, "restore": restores[i]}
         # compact separators: the envelope rides on every row of a
         # 10^10-row stream — whitespace is ~15 % of the payload
         raw = json.dumps(patch, sort_keys=True, separators=(",", ":")).encode()
-        blobs.append(seal(raw, password, iterations, salt, _key=derived) if password else raw)
+        blobs.append(
+            seal(raw, password, iterations, salt, _key=derived, _aes=aes)
+            if password else raw
+        )
     return transformed.append_column(CHANGESET_COL, pa.array(blobs, type=pa.binary()))
 
 
@@ -199,6 +245,7 @@ def apply_changeset(
         return keep.append_column("_route", pa.array([], type=pa.string()))
 
     derived = _derive_key(password, iterations, salt) if password else None  # KDF once per batch
+    aes = AESGCM(derived) if (derived is not None and HAVE_CRYPTO) else None
     n_rows = batch.num_rows
     # per-row work touches ONLY the envelope column + the key column; the
     # payload (tokens, wide columns) is never materialized to Python —
@@ -213,7 +260,7 @@ def apply_changeset(
             patches.append(None)
             mismatches.append(False)
             continue
-        raw = unseal(bytes(blob), password, iterations, salt, _key=derived) if password else bytes(blob)
+        raw = unseal(bytes(blob), password, iterations, salt, _key=derived, _aes=aes) if password else bytes(blob)
         if raw is None:
             patches.append(None)
             mismatches.append(False)
