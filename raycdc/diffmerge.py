@@ -166,6 +166,7 @@ def compute_changeset(
     password: str | None = None,
     iterations: int = DEFAULT_ITERATIONS,
     salt: bytes = DEFAULT_SALT,
+    kdf: str = "batch",
 ) -> pa.Table:
     """Row-aligned diff: for every row, record the original values of the
     columns the transform removed or modified (plus removed-column data),
@@ -179,9 +180,24 @@ def compute_changeset(
     Diff *detection* is column-wise vectorized (``pc.equal`` masks);
     Python touches only the (row, column) cells that actually changed.
     The per-row JSON+seal is inherent to the envelope format.
+
+    ``kdf`` sets the key-derivation COST MODEL (output bytes identical):
+
+    * ``"batch"`` (engine default) — PBKDF2 once per batch. Valid here
+      because the envelope salt is a fixed deployment value (replay
+      determinism), so every row's key is the same.
+    * ``"row"`` — PBKDF2 per record, the REFERENCE's cost profile:
+      ``DeidentifyEncryptDICOM.java:90-96`` seals one CMS envelope per
+      image with a fresh PBKDF2 inside ("more iterations require more
+      per-image computation") because its salt is per-envelope. Use for
+      workload studies that must carry the reference's per-record CPU
+      (e.g. the scaling bench); the derived key — and therefore every
+      output byte — is unchanged.
     """
     if original.num_rows != transformed.num_rows:
         raise ValueError("changeset requires row-aligned tables")
+    if kdf not in ("batch", "row"):
+        raise ValueError("kdf must be 'batch' or 'row'")
     n_rows = original.num_rows
     derived = _derive_key(password, iterations, salt) if password else None  # KDF once/batch
     # column-wise change masks: removed columns are all-changed; shared
@@ -205,12 +221,15 @@ def compute_changeset(
             restores[i][c] = v
     keys_new = transformed[key].to_pylist() if key in transformed.column_names else [None] * n_rows
     aes = AESGCM(derived) if (derived is not None and HAVE_CRYPTO) else None
+    per_row_kdf = kdf == "row" and password is not None
     blobs = []
     for i in range(n_rows):
         patch = {"expect": {key: keys_new[i]}, "restore": restores[i]}
         # compact separators: the envelope rides on every row of a
         # 10^10-row stream — whitespace is ~15 % of the payload
         raw = json.dumps(patch, sort_keys=True, separators=(",", ":")).encode()
+        if per_row_kdf:  # reference cost model: one KDF per record
+            derived = _derive_key(password, iterations, salt)
         blobs.append(
             seal(raw, password, iterations, salt, _key=derived, _aes=aes)
             if password else raw
@@ -337,18 +356,20 @@ class DeidentifyEncrypt:
     concurrency=N)`` with ``iterations`` as the compute dial."""
 
     def __init__(self, ruleset, key: str = "doc_id", password: str | None = None,
-                 iterations: int = DEFAULT_ITERATIONS, salt: bytes = DEFAULT_SALT):
+                 iterations: int = DEFAULT_ITERATIONS, salt: bytes = DEFAULT_SALT,
+                 kdf: str = "batch"):
         self.ruleset = ruleset
         self.key = key
         self.password = password
         self.iterations = iterations
         self.salt = salt
+        self.kdf = kdf
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         transformed = self.ruleset(batch)
         return compute_changeset(
             batch, transformed, key=self.key, password=self.password,
-            iterations=self.iterations, salt=self.salt,
+            iterations=self.iterations, salt=self.salt, kdf=self.kdf,
         )
 
 

@@ -136,7 +136,7 @@ def curate_text(
 
 
 def deid_transform(password: str | None = "bench", iterations: int = 200,
-                   batch_size: int | None = 65536):
+                   batch_size: int | None = 65536, kdf: str = "batch"):
     """The reference-analog per-record work stage for the changelog tail:
     pseudonymize identities (M4/T4/T5) and seal the restoring change-set
     envelope (C2/C4) — the DeidentifyEncryptDICOM workload
@@ -156,7 +156,7 @@ def deid_transform(password: str | None = "bench", iterations: int = 200,
         Rule(column="doc_id", action="map", fn=lambda t: pseudo_id(t["doc_id"])),
         Rule(column="source", action="map", fn=lambda t: name_based_uid(t["source"])),
     ])
-    stage = DeidentifyEncrypt(rs, key="doc_id", password=password, iterations=iterations)
+    stage = DeidentifyEncrypt(rs, key="doc_id", password=password, iterations=iterations, kdf=kdf)
 
     def transform(ds: ray.data.Dataset) -> ray.data.Dataset:
         return ds.map_batches(stage, batch_format="pyarrow", batch_size=batch_size)
