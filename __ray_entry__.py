@@ -856,6 +856,63 @@ def q_multimodal_features(sf_dir: str):
     return decode_features(media, concurrency=2, batch_size=128, real=True)
 
 
+def q_sessionize_events(sf_dir: str):
+    """Gap-based sessionization (the stateful streaming-window operator):
+    events of one user ≤30 min apart form a session; one row per session
+    with 1-based per-user numbering. ts ties are ordered by event_id so
+    the numbering is replay-stable and matches the SQL window oracle."""
+    from raycdc.ops import sessionize
+
+    return sessionize(
+        _ev(sf_dir), key="user_id", ts_col="ts", gap_s=1800, order_col="event_id"
+    )
+
+
+def q_events_hopping_window(sf_dir: str):
+    """Hopping (sliding) window aggregate: 2-hour windows every hour per
+    event_type — each event lands in exactly two windows. Integer-only
+    window math (w0 - j*hop over epoch-aligned stamps) and integer-cents
+    sums keep both engines bit-identical."""
+    from raycdc.ops import hopping_window_agg
+
+    cents = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "ts", "event_type"]).append_column(
+            "cents", pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    return hopping_window_agg(
+        cents, "ts", size_s=7200, hop_s=3600, keys=["event_type"],
+        specs={"n": ("event_id", "count"), "sum_cents": ("cents", "sum")},
+    )
+
+
+def q_grouped_quantile(sf_dir: str):
+    """EXACT per-user value quantiles (p50/p90/p99) in integer cents —
+    the data-quality cut a curation pipeline filters on. Discrete
+    quantile (an actual element, index max(0, ceil(q*n)-1)) so the Ray
+    kernel and DuckDB's quantile_disc agree bit-for-bit."""
+    from raycdc.ops import grouped_quantile
+
+    cents = _ev(sf_dir).map_batches(
+        lambda t: t.select(["user_id"]).append_column(
+            "cents", pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantile(
+        cents, "user_id", "cents", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    )
+
+
+def q_events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type via the pair-dedup
+    combiner + one bounded pair shuffle (never a row shuffle)."""
+    from raycdc.ops import grouped_nunique
+
+    return grouped_nunique(_ev(sf_dir), "event_type", "user_id")
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -904,6 +961,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": q_events_hourly_window,
         "stratified_sample": q_stratified_sample,
         "range_join_windows": q_range_join_windows,
+        "sessionize_events": q_sessionize_events,
+        "events_hopping_window": q_events_hopping_window,
+        "grouped_quantile": q_grouped_quantile,
+        "events_distinct_users": q_events_distinct_users,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -1078,6 +1139,52 @@ def oracle_sql() -> dict[str, str]:
                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
                   < CASE coalesce(lang, '')
                       WHEN 'en' THEN 1 WHEN 'fr' THEN 4 ELSE 2 END
+        """,
+        "sessionize_events": """
+            WITH d AS (
+              SELECT user_id, ts, event_id,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            s AS (
+              SELECT user_id, ts,
+                     CAST(sum(CASE WHEN delta IS NULL OR delta > 1800000000
+                                   THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+              FROM d)
+            SELECT user_id, session_no, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_events
+            FROM s GROUP BY user_id, session_no
+        """,
+        "events_hopping_window": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS us, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE ts IS NOT NULL),
+            x AS (SELECT us - ((us % 3600000000) + 3600000000) % 3600000000 AS w0,
+                         event_type, cents
+                  FROM e),
+            w AS (SELECT unnest(generate_series(w0 - 7200000000 + 3600000000,
+                                                w0, 3600000000)) AS ws,
+                         event_type, cents
+                  FROM x)
+            SELECT make_timestamp(ws) AS window_start, event_type,
+                   count(*) AS n, sum(cents) AS sum_cents
+            FROM w GROUP BY 1, 2
+        """,
+        "grouped_quantile": """
+            WITH c AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events WHERE value IS NOT NULL)
+            SELECT user_id,
+                   quantile_disc(cents, 0.5) AS p50,
+                   quantile_disc(cents, 0.9) AS p90,
+                   quantile_disc(cents, 0.99) AS p99
+            FROM c GROUP BY user_id
+        """,
+        "events_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_unique
+            FROM events GROUP BY event_type
         """,
         "events_hourly_window": """
             SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)

@@ -1,0 +1,233 @@
+"""sessionize / hopping_window_agg / grouped_quantile / grouped_nunique
+— each checked against DuckDB running the same SQL the driver oracle
+uses (scaled-down fixtures, adversarial edges: gap==delta, ts ties,
+null keys/values, pre-epoch timestamps)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from raycdc.ops import (
+    grouped_nunique,
+    grouped_quantile,
+    hopping_window_agg,
+    sessionize,
+    tumbling_window_agg,
+)
+
+
+def _events(n=4000, seed=7, with_nulls=False):
+    rng = np.random.default_rng(seed)
+    ts = np.cumsum(rng.integers(0, 900_000_000, n))  # 0..15min gaps, us
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+            "ts": pa.array(ts.astype(np.int64)).cast(pa.timestamp("us")),
+            "etype": pa.array(rng.choice(["a", "b", "c"], n)),
+            "cents": pa.array(rng.integers(-500, 50_000, n).astype(np.int64)),
+        }
+    )
+    if with_nulls:
+        mask_k = rng.random(n) < 0.05
+        mask_v = rng.random(n) < 0.05
+        t = t.set_column(
+            1, "user_id", pc.if_else(pa.array(mask_k), pa.nulls(n, pa.int64()), t["user_id"])
+        )
+        t = t.set_column(
+            4, "cents", pc.if_else(pa.array(mask_v), pa.nulls(n, pa.int64()), t["cents"])
+        )
+    return t
+
+
+def _duck(t: pa.Table, sql: str):
+    con = duckdb.connect()
+    con.register("events", t)
+    return con.execute(sql).fetch_arrow_table()
+
+
+def _sorted_pd(tbl: pa.Table):
+    df = tbl.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_sessionize_matches_sql_window_oracle():
+    t = _events()
+    gap_us = 600_000_000  # 10 min
+    out = sessionize(
+        rd.from_arrow(t).repartition(6),
+        key="user_id",
+        ts_col="ts",
+        gap_s=600,
+        order_col="event_id",
+        num_buckets=8,
+        batch_size=512,
+    ).to_pandas()
+    want = _duck(
+        t,
+        f"""
+        WITH d AS (
+          SELECT user_id, ts, event_id,
+                 epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        s AS (
+          SELECT user_id, ts,
+                 CAST(sum(CASE WHEN delta IS NULL OR delta > {gap_us} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+          FROM d)
+        SELECT user_id, session_no, min(ts) AS session_start,
+               max(ts) AS session_end, count(*) AS n_events
+        FROM s GROUP BY user_id, session_no
+        """,
+    ).to_pandas()
+    got = out.sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "session_no"]).reset_index(drop=True)
+    assert got.shape == want.shape
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_sessionize_gap_boundary_and_ties():
+    # delta == gap stays in-session; delta == gap+1us breaks; ts ties
+    # ordered by order_col
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 1, 2], type=pa.int64()),
+            "ts": pa.array([0, 10, 10, 20, 31, 5], type=pa.int64()).cast(pa.timestamp("us")),
+            "i": pa.array([0, 2, 1, 3, 4, 5], type=pa.int64()),
+        }
+    )
+    out = (
+        sessionize(rd.from_arrow(t), "k", "ts", gap_s=10e-6, order_col="i", num_buckets=2)
+        .to_pandas()
+        .sort_values(["k", "session_no"])
+        .reset_index(drop=True)
+    )
+    # k=1: rows at 0,10,10,20 all within gap-10us chain; 31 is 11us after 20 → new session
+    assert out.shape[0] == 3
+    r = out.iloc[0]
+    assert (r["k"], r["session_no"], r["n_events"]) == (1, 1, 4)
+    assert out.iloc[1]["session_no"] == 2 and out.iloc[1]["n_events"] == 1
+    assert out.iloc[2]["k"] == 2 and out.iloc[2]["session_no"] == 1
+
+
+def test_sessionize_drops_null_key_or_ts():
+    t = pa.table(
+        {
+            "k": pa.array([1, None, 1], type=pa.int64()),
+            "ts": pa.array([0, 5, None], type=pa.int64()).cast(pa.timestamp("us")),
+            "i": pa.array([0, 1, 2], type=pa.int64()),
+        }
+    )
+    out = sessionize(rd.from_arrow(t), "k", "ts", gap_s=1, order_col="i").to_pandas()
+    assert out.shape[0] == 1 and out.iloc[0]["n_events"] == 1
+
+
+def test_hopping_window_matches_generate_series_oracle():
+    t = _events(n=3000, seed=11)
+    size_us, hop_us = 3_600_000_000, 900_000_000
+    out = hopping_window_agg(
+        rd.from_arrow(t).repartition(5),
+        "ts",
+        size_s=3600,
+        hop_s=900,
+        keys=["etype"],
+        specs={"n": ("event_id", "count"), "sum_cents": ("cents", "sum")},
+        batch_size=512,
+    ).to_pandas()
+    want = _duck(
+        t,
+        f"""
+        WITH e AS (SELECT epoch_us(ts) AS us, etype, cents
+                   FROM events WHERE ts IS NOT NULL),
+             x AS (SELECT us - ((us % {hop_us}) + {hop_us}) % {hop_us} AS w0, etype, cents FROM e),
+             w AS (SELECT unnest(generate_series(w0 - {size_us} + {hop_us}, w0, {hop_us})) AS ws,
+                          etype, cents FROM x)
+        SELECT make_timestamp(ws) AS window_start, etype,
+               count(*) AS n, sum(cents) AS sum_cents
+        FROM w GROUP BY 1, 2
+        """,
+    ).to_pandas()
+    got = _sorted_pd(pa.Table.from_pandas(out))
+    want = _sorted_pd(pa.Table.from_pandas(want))
+    assert got.shape == want.shape
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_hopping_equals_tumbling_when_size_is_hop():
+    t = _events(n=1200, seed=3)
+    hop = hopping_window_agg(
+        rd.from_arrow(t), "ts", size_s=3600, hop_s=3600,
+        keys=["etype"], specs={"n": ("event_id", "count")},
+    ).to_pandas()
+    tum = tumbling_window_agg(
+        rd.from_arrow(t), "ts", every_s=3600,
+        keys=["etype"], specs={"n": ("event_id", "count")},
+    ).to_pandas()
+    a = hop.sort_values(["window_start", "etype"]).reset_index(drop=True)
+    b = tum.sort_values(["window_start", "etype"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_hopping_pre_epoch_alignment():
+    # floored alignment: ts = -1us belongs to windows starting at -hop..0
+    t = pa.table(
+        {"ts": pa.array([-1, 0], type=pa.int64()).cast(pa.timestamp("us")),
+         "x": pa.array([1, 1], type=pa.int64())}
+    )
+    out = hopping_window_agg(
+        rd.from_arrow(t), "ts", size_s=2e-6, hop_s=1e-6, specs={"n": ("x", "count")}
+    ).to_pandas()
+    starts = sorted(int(v.value) // 1000 for v in out["window_start"])  # .value is ns
+    # -1us → w0=-1: windows {-2,-1}; 0 → w0=0: windows {-1,0}
+    assert starts == [-2, -1, 0]
+    n_by = {int(r["window_start"].value) // 1000: int(r["n"]) for _, r in out.iterrows()}
+    assert n_by == {-2: 1, -1: 2, 0: 1}
+
+
+def test_grouped_quantile_matches_duckdb_quantile_disc():
+    t = _events(n=5000, seed=23, with_nulls=True)
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99, "p100": 1.0}
+    out = grouped_quantile(
+        rd.from_arrow(t).repartition(7), "user_id", "cents", qs,
+        num_buckets=8, batch_size=333,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT user_id,
+               quantile_disc(cents, 0.25) AS p25, quantile_disc(cents, 0.5) AS p50,
+               quantile_disc(cents, 0.9) AS p90, quantile_disc(cents, 0.99) AS p99,
+               quantile_disc(cents, 1.0) AS p100
+        FROM events WHERE cents IS NOT NULL GROUP BY user_id
+        """,
+    ).to_pandas()
+    got = _sorted_pd(pa.Table.from_pandas(out))
+    want = _sorted_pd(pa.Table.from_pandas(want))
+    assert got.shape == want.shape
+    for c in want.columns:
+        ga, wa = got[c].to_numpy(), want[c].to_numpy()
+        # null-key group: compare with NaN-aware equality
+        both_nan = np.asarray(got[c].isna()) & np.asarray(want[c].isna())
+        assert ((ga == wa) | both_nan).all(), c
+
+
+def test_grouped_nunique_matches_count_distinct():
+    t = _events(n=6000, seed=31, with_nulls=True)
+    out = grouped_nunique(
+        rd.from_arrow(t).repartition(6), "etype", "user_id",
+        num_buckets=8, batch_size=500,
+    ).to_pandas()
+    want = _duck(
+        t,
+        "SELECT etype, count(DISTINCT user_id) AS n_unique FROM events GROUP BY etype",
+    ).to_pandas()
+    got = out.sort_values("etype").reset_index(drop=True)
+    want = want.sort_values("etype").reset_index(drop=True)
+    assert (got["etype"].to_numpy() == want["etype"].to_numpy()).all()
+    assert (got["n_unique"].to_numpy() == want["n_unique"].to_numpy()).all()
