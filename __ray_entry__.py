@@ -913,6 +913,52 @@ def q_events_distinct_users(sf_dir: str):
     return grouped_nunique(_ev(sf_dir), "event_type", "user_id")
 
 
+def q_events_distinct_users_approx(sf_dir: str):
+    """HyperLogLog cardinality sketch (the 100-TB path beside the exact
+    op: one 2 KiB register block per key per batch shuffles, independent
+    of cardinality). Approximate → rows-only; accuracy vs the exact op
+    is pytest-gated (test_windows_quantiles)."""
+    from raycdc.ops import grouped_nunique_approx
+
+    return grouped_nunique_approx(_ev(sf_dir), "event_type", "user_id")
+
+
+def q_events_type_pivot(sf_dir: str):
+    """Wide per-user activity profile: one count column per event type
+    (the feature-table shape a training pipeline joins on). Pure
+    combiner — indicator stamp + partial sums; no row shuffle."""
+    from raycdc.ops import pivot_agg
+
+    return pivot_agg(
+        _ev(sf_dir), "user_id", "event_type",
+        values=["click", "view", "purchase"], other="other",
+    )
+
+
+def q_docs_outlier_filter(sf_dir: str):
+    """Composed curation cut: per-language p99 document length via
+    grouped_quantile (exact, tiny result), broadcast back, keep docs at
+    or below their language's p99 — the grouped-aggregate→broadcast→
+    filter macro (no second shuffle; the quantile table is the only
+    thing collected, one row per language)."""
+    from raycdc.ops import broadcast_lookup, grouped_quantile
+
+    docs = _docs(sf_dir)
+    q = grouped_quantile(
+        docs.map_batches(lambda t: t.select(["lang", "n_chars"]), batch_format="pyarrow"),
+        "lang", "n_chars", {"p99": 0.99},
+    )
+    cut = {r["lang"]: r["p99"] for r in q.take_all() if r["lang"] is not None}
+    out = broadcast_lookup(docs, "lang", cut, "p99_cut")
+    return out.map_batches(
+        lambda t: t.filter(
+            pc.and_kleene(pc.is_valid(t["p99_cut"]),
+                          pc.less_equal(t["n_chars"], t["p99_cut"]))
+        ).select(["doc_id", "lang", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -965,6 +1011,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": q_events_hopping_window,
         "grouped_quantile": q_grouped_quantile,
         "events_distinct_users": q_events_distinct_users,
+        "events_distinct_users_approx": q_events_distinct_users_approx,
+        "events_type_pivot": q_events_type_pivot,
+        "docs_outlier_filter": q_docs_outlier_filter,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -1185,6 +1234,23 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_unique
             FROM events GROUP BY event_type
+        """,
+        "events_type_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type IN ('click', 'view', 'purchase')
+                            THEN 0 ELSE 1 END) AS n_other
+            FROM events GROUP BY user_id
+        """,
+        "docs_outlier_filter": """
+            WITH q AS (SELECT lang, quantile_disc(n_chars, 0.99) AS p99
+                       FROM documents WHERE n_chars IS NOT NULL
+                       GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN q ON q.lang = d.lang
+            WHERE d.n_chars <= q.p99
         """,
         "events_hourly_window": """
             SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)

@@ -231,3 +231,93 @@ def test_grouped_nunique_matches_count_distinct():
     want = want.sort_values("etype").reset_index(drop=True)
     assert (got["etype"].to_numpy() == want["etype"].to_numpy()).all()
     assert (got["n_unique"].to_numpy() == want["n_unique"].to_numpy()).all()
+
+
+def test_grouped_nunique_approx_within_hll_bounds():
+    # two cardinality regimes: small (linear-counting range) and large
+    rng = np.random.default_rng(5)
+    n = 60_000
+    t = pa.table(
+        {
+            "g": pa.array(np.where(np.arange(n) % 2 == 0, "big", "small")),
+            # 'big' rows draw from ~25k ids, 'small' rows from 40
+            "v": pa.array(
+                np.where(
+                    np.arange(n) % 2 == 0,
+                    rng.integers(0, 25_000, n),
+                    rng.integers(0, 40, n),
+                ).astype(np.int64)
+            ),
+        }
+    )
+    from raycdc.ops import grouped_nunique_approx
+
+    ds = rd.from_arrow(t).repartition(6)
+    got = {
+        r["g"]: r["n_unique_approx"]
+        for r in grouped_nunique_approx(ds, "g", "v", batch_size=4096).take_all()
+    }
+    exact = {
+        r["g"]: r["n_unique"]
+        for r in grouped_nunique(ds, "g", "v", batch_size=4096).take_all()
+    }
+    for g in ("big", "small"):
+        rel = abs(got[g] - exact[g]) / exact[g]
+        assert rel < 0.08, (g, got[g], exact[g], rel)  # 3.5σ at m=2048
+
+    # determinism / partitioning-independence: different block layout,
+    # identical sketch result
+    got2 = {
+        r["g"]: r["n_unique_approx"]
+        for r in grouped_nunique_approx(
+            rd.from_arrow(t).repartition(2), "g", "v", batch_size=50_000
+        ).take_all()
+    }
+    # merge of per-batch maxima is layout-independent by construction
+    assert got2 == got
+
+
+def test_pivot_agg_matches_case_sums():
+    t = _events(n=3000, seed=13, with_nulls=True)
+    from raycdc.ops import pivot_agg
+
+    out = pivot_agg(
+        rd.from_arrow(t).repartition(5), "user_id", "etype",
+        values=["a", "b"], other="other", batch_size=400,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT user_id,
+               CAST(sum(CASE WHEN etype = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN etype = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN etype IN ('a','b') THEN 0 ELSE 1 END) AS BIGINT) AS n_other
+        FROM events GROUP BY user_id
+        """,
+    ).to_pandas()
+    got = _sorted_pd(pa.Table.from_pandas(out[["user_id", "n_a", "n_b", "n_other"]]))
+    want = _sorted_pd(pa.Table.from_pandas(want))
+    assert got.shape == want.shape
+    for c in want.columns:
+        ga, wa = got[c].to_numpy(), want[c].to_numpy()
+        both_nan = np.asarray(got[c].isna()) & np.asarray(want[c].isna())
+        assert ((ga == wa) | both_nan).all(), c
+
+
+def test_pivot_agg_sum_and_drop_other():
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2], type=pa.int64()),
+            "p": pa.array(["x", "y", "x", None]),
+            "v": pa.array([10, 20, 30, 40], type=pa.int64()),
+        }
+    )
+    from raycdc.ops import pivot_agg
+
+    out = (
+        pivot_agg(rd.from_arrow(t), "k", "p", values=["x"], agg="sum",
+                  value_col="v", prefix="sum_", other=None)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(out.columns) == ["k", "sum_x"]
+    assert out["sum_x"].tolist() == [10, 30]
