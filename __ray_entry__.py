@@ -923,6 +923,25 @@ def q_events_distinct_users_approx(sf_dir: str):
     return grouped_nunique_approx(_ev(sf_dir), "event_type", "user_id")
 
 
+def q_events_type_quantile_hist(sf_dir: str):
+    """The hot-key quantile path: event_type has a handful of giant
+    groups, exactly where the row-shuffle grouped_quantile is skew-bound
+    — the histogram combiner shuffles (key, value, count) partials
+    instead of rows and reads the quantile off the per-key cumulative
+    histogram. Bit-identical to quantile_disc (same index rule)."""
+    from raycdc.ops import grouped_quantile_hist
+
+    cents = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_type"]).append_column(
+            "cents", pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantile_hist(
+        cents, "event_type", "cents", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    )
+
+
 def q_events_type_pivot(sf_dir: str):
     """Wide per-user activity profile: one count column per event type
     (the feature-table shape a training pipeline joins on). Pure
@@ -1013,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": q_events_distinct_users,
         "events_distinct_users_approx": q_events_distinct_users_approx,
         "events_type_pivot": q_events_type_pivot,
+        "events_type_quantile_hist": q_events_type_quantile_hist,
         "docs_outlier_filter": q_docs_outlier_filter,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1234,6 +1254,15 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_unique
             FROM events GROUP BY event_type
+        """,
+        "events_type_quantile_hist": """
+            WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events WHERE value IS NOT NULL)
+            SELECT event_type,
+                   quantile_disc(cents, 0.5) AS p50,
+                   quantile_disc(cents, 0.9) AS p90,
+                   quantile_disc(cents, 0.99) AS p99
+            FROM c GROUP BY event_type
         """,
         "events_type_pivot": """
             SELECT user_id,

@@ -1100,3 +1100,74 @@ def pivot_agg(
     return partial_groupby_agg(
         stamped, key, {n: (n, "sum") for n in names}, batch_size=batch_size
     )
+
+
+def grouped_quantile_hist(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    qs: dict[str, float],
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """EXACT per-group discrete quantiles via value-histogram combining —
+    the scale path :func:`grouped_quantile` documents for LOW-cardinality
+    keys: instead of shuffling every row of a hot key into one bucket,
+    each batch pre-aggregates to (key, value, count) partials, the
+    exchange carries O(keys × distinct values) rows, and the quantile is
+    read off the per-key cumulative histogram. Same index rule
+    (``max(0, ceil(q*n) - 1)`` over the value-sorted multiset, ==
+    DuckDB ``quantile_disc``), bit-identical results to the row-shuffle
+    op — use THIS one when keys are few and values repeat (e.g. integer
+    cents per event type), the other when keys are many and values are
+    near-unique.
+
+    NULL ``col`` ignored; NULL keys one group. Contract: the per-key
+    distinct-VALUE set fits a worker (a truly unbounded value domain
+    needs a sketch or the row-shuffle op)."""
+    for name, q in qs.items():
+        if not 0.0 <= float(q) <= 1.0:
+            raise ValueError(f"quantile {name}={q} outside [0, 1]")
+
+    pruned = ds.map_batches(
+        lambda t: t.select([key, col]).filter(pc.is_valid(t.column(col))),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
+    hist = partial_groupby_agg(pruned, [key, col], {"_cnt": (col, "count")},
+                               batch_size=batch_size)
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[(key, "ascending"), (col, "ascending")])
+        ).combine_chunks()
+        n = g.num_rows
+        kcol, vals = g.column(key), g.column(col)
+        if n == 0:
+            return pa.table(
+                {key: kcol, **{name: vals for name in qs}}
+            )
+        cnt = np.asarray(g.column("_cnt")).astype(np.int64)
+        new_key = _run_boundaries(kcol, n)
+        starts = np.flatnonzero(new_key)
+        # per-key cumulative histogram (global cumsum re-based per key)
+        csum = np.cumsum(cnt)
+        base = np.concatenate([[0], csum])[
+            np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        ]
+        cum = csum - base  # within-key running total, ends at key's n
+        totals = cum[np.r_[starts[1:], n] - 1]
+        # monotonic position encoding: one searchsorted finds, per key,
+        # the first histogram row whose cumulative count exceeds target
+        big = np.int64(totals.max() + 1) if n else np.int64(1)
+        key_idx = np.cumsum(new_key) - 1
+        enc = key_idx * big + np.minimum(cum, big - 1)
+        cols = {key: kcol.take(pa.array(starts))}
+        for name, q in qs.items():
+            target = np.maximum(0, np.ceil(float(q) * totals).astype(np.int64) - 1)
+            pos = np.searchsorted(enc, np.arange(len(starts)) * big + target, side="right")
+            cols[name] = vals.take(pa.array(pos))
+        return pa.table(cols)
+
+    # the histogram is small by contract (keys × distinct values) — fold
+    # in ONE task like top_k's final; a second groupby here would pay
+    # Ray's multi-second Sort-operator fixed cost on a tiny table
+    return hist.repartition(1).map_batches(fold, batch_format="pyarrow", batch_size=None)

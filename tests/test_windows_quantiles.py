@@ -321,3 +321,37 @@ def test_pivot_agg_sum_and_drop_other():
     )
     assert list(out.columns) == ["k", "sum_x"]
     assert out["sum_x"].tolist() == [10, 30]
+
+
+def test_grouped_quantile_hist_matches_row_shuffle_op():
+    # low-cardinality key, repeating integer values — the hist op's case;
+    # results must be bit-identical to the row-shuffle op AND DuckDB
+    t = _events(n=5000, seed=41, with_nulls=True)
+    from raycdc.ops import grouped_quantile_hist
+
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p100": 1.0}
+    small = t.set_column(
+        4, "cents", pc.divide(t["cents"], 1000)
+    )  # quantize to ~50 distinct values so the histogram actually combines
+    hist = grouped_quantile_hist(
+        rd.from_arrow(small).repartition(6), "etype", "cents", qs, batch_size=400
+    ).to_pandas()
+    rowq = grouped_quantile(
+        rd.from_arrow(small).repartition(6), "etype", "cents", qs, batch_size=400
+    ).to_pandas()
+    want = _duck(
+        small,
+        """
+        SELECT etype,
+               quantile_disc(cents, 0.25) AS p25, quantile_disc(cents, 0.5) AS p50,
+               quantile_disc(cents, 0.9) AS p90, quantile_disc(cents, 1.0) AS p100
+        FROM events WHERE cents IS NOT NULL GROUP BY etype
+        """,
+    ).to_pandas()
+    for df in (hist, rowq, want):
+        df.sort_values("etype", inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert hist.shape == want.shape == rowq.shape
+    for c in want.columns:
+        assert (hist[c].to_numpy() == want[c].to_numpy()).all(), ("hist", c)
+        assert (rowq[c].to_numpy() == hist[c].to_numpy()).all(), ("rowq", c)
