@@ -923,6 +923,19 @@ def q_events_distinct_users_approx(sf_dir: str):
     return grouped_nunique_approx(_ev(sf_dir), "event_type", "user_id")
 
 
+def q_user_event_sequence(sf_dir: str):
+    """Sequence assembly (the make-one-training-example-per-entity op):
+    each user's event types concatenated in (ts, event_id) order — a
+    total order, so the string is replay-stable and matches SQL
+    string_agg ORDER BY bit-for-bit."""
+    from raycdc.ops import grouped_concat
+
+    return grouped_concat(
+        _ev(sf_dir), "user_id", "event_type",
+        order_cols=["ts", "event_id"], sep=",", out_col="seq",
+    )
+
+
 def q_events_type_quantile_hist(sf_dir: str):
     """The hot-key quantile path: event_type has a handful of giant
     groups, exactly where the row-shuffle grouped_quantile is skew-bound
@@ -1033,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_approx": q_events_distinct_users_approx,
         "events_type_pivot": q_events_type_pivot,
         "events_type_quantile_hist": q_events_type_quantile_hist,
+        "user_event_sequence": q_user_event_sequence,
         "docs_outlier_filter": q_docs_outlier_filter,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1254,6 +1268,12 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_unique
             FROM events GROUP BY event_type
+        """,
+        "user_event_sequence": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY user_id
         """,
         "events_type_quantile_hist": """
             WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents

@@ -1171,3 +1171,59 @@ def grouped_quantile_hist(
     # in ONE task like top_k's final; a second groupby here would pay
     # Ray's multi-second Sort-operator fixed cost on a tiny table
     return hist.repartition(1).map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_concat(
+    ds: ray.data.Dataset,
+    key: str,
+    val_col: str,
+    order_cols: list[str],
+    sep: str = ",",
+    out_col: str = "seq",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Ordered per-key concatenation (SQL ``string_agg(val, sep ORDER BY
+    ...)``): assembles each key's values into one delimited string in
+    ``order_cols`` order — the sequence-assembly step that turns an
+    event/token stream into one training example per entity.
+
+    Shape: ONE bounded hash-bucket shuffle on ``key``, then a fully
+    vectorized in-bucket kernel — sort by (key, *order), run boundaries,
+    ``pa.ListArray.from_arrays`` over the boundary offsets,
+    ``pc.binary_join`` — no per-row Python, no per-group callback.
+
+    NULL values are skipped (string_agg convention; a key whose values
+    are ALL null is dropped — mirror with WHERE val IS NOT NULL); NULL
+    keys form one group. Pass a total ``order_cols`` (e.g. ts + LSN) for
+    replay-stable output. Contract: one key's concatenated payload fits
+    a worker — entity-sized sequences, not corpus-sized."""
+    from raycdc.util import bucket_of
+
+    sel = list(dict.fromkeys([key, val_col, *order_cols]))
+    order = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        t = t.select(sel)
+        t = t.filter(pc.is_valid(t.column(val_col)))
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=order)).combine_chunks()
+        n = g.num_rows
+        kcol = g.column(key)
+        vals = g.column(val_col).cast(pa.string()).combine_chunks()
+        new_key = _run_boundaries(kcol, n)
+        starts = np.flatnonzero(new_key)
+        offsets = pa.array(np.r_[starts, n].astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, vals)
+        return pa.table(
+            {key: kcol.take(pa.array(starts)), out_col: pc.binary_join(lists, sep)}
+        )
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )

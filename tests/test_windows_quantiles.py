@@ -355,3 +355,28 @@ def test_grouped_quantile_hist_matches_row_shuffle_op():
     for c in want.columns:
         assert (hist[c].to_numpy() == want[c].to_numpy()).all(), ("hist", c)
         assert (rowq[c].to_numpy() == hist[c].to_numpy()).all(), ("rowq", c)
+
+
+def test_grouped_concat_matches_string_agg():
+    t = _events(n=3000, seed=53, with_nulls=True)
+    from raycdc.ops import grouped_concat
+
+    out = grouped_concat(
+        rd.from_arrow(t).repartition(5), "user_id", "etype",
+        order_cols=["ts", "event_id"], sep=",", num_buckets=8, batch_size=400,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT user_id,
+               string_agg(etype, ',' ORDER BY ts, event_id) AS seq
+        FROM events WHERE etype IS NOT NULL
+        GROUP BY user_id
+        """,
+    ).to_pandas()
+    got = out.sort_values("user_id").reset_index(drop=True)
+    want = want.sort_values("user_id").reset_index(drop=True)
+    assert got.shape == want.shape
+    kn = np.asarray(got["user_id"].isna()) & np.asarray(want["user_id"].isna())
+    assert ((got["user_id"].to_numpy() == want["user_id"].to_numpy()) | kn).all()
+    assert (got["seq"].to_numpy() == want["seq"].to_numpy()).all()
