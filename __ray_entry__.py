@@ -923,6 +923,24 @@ def q_events_distinct_users_approx(sf_dir: str):
     return grouped_nunique_approx(_ev(sf_dir), "event_type", "user_id")
 
 
+def q_docs_length_tiles(sf_dir: str):
+    """Deterministic stratified split: quartile tiles of document length
+    WITHIN each language (the keep-tile-1 / split-by-tile curation move).
+    Total order (n_chars, doc_id) makes tiles replay-stable and equal to
+    SQL NTILE bit-for-bit."""
+    from raycdc.ops import grouped_ntile
+
+    out = grouped_ntile(
+        _docs(sf_dir).map_batches(
+            lambda t: t.select(["doc_id", "lang", "n_chars"]), batch_format="pyarrow"
+        ),
+        "lang", order_cols=["n_chars", "doc_id"], n_tiles=4,
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang", "tile"]), batch_format="pyarrow"
+    )
+
+
 def q_user_event_sequence(sf_dir: str):
     """Sequence assembly (the make-one-training-example-per-entity op):
     each user's event types concatenated in (ts, event_id) order — a
@@ -1047,6 +1065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": q_events_type_pivot,
         "events_type_quantile_hist": q_events_type_quantile_hist,
         "user_event_sequence": q_user_event_sequence,
+        "docs_length_tiles": q_docs_length_tiles,
         "docs_outlier_filter": q_docs_outlier_filter,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1268,6 +1287,11 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_unique
             FROM events GROUP BY event_type
+        """,
+        "docs_length_tiles": """
+            SELECT doc_id, lang,
+                   ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS tile
+            FROM documents
         """,
         "user_event_sequence": """
             SELECT user_id,

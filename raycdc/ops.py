@@ -453,8 +453,8 @@ def asof_join(
     right: ray.data.Dataset,
     on_left: str,
     on_right: str,
-    by_left: str,
-    by_right: str,
+    by_left: str | list[str],
+    by_right: str | list[str],
     how: str = "left",
     tiebreak: str | None = None,
     num_buckets: int = 32,
@@ -478,38 +478,56 @@ def asof_join(
     with a NULL key or NULL time never match; left rows with a NULL time
     match nothing (how='left' keeps them with a null right side).
 
+    ``by_left`` / ``by_right`` may be same-length LISTS for a composite
+    entity key (e.g. tenant + user): buckets are the combined key hash,
+    the probe passes the full column list to merge_asof, and a NULL in
+    ANY key component routes the row to the unmatched path.
+
     Partitioning assumption (documented contract): one bucket's rows fit
     a worker — raise ``num_buckets`` for bigger data, salt upstream for
     a pathological hot key.
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
-    from raycdc.util import bucket_of
+    from raycdc.util import splitmix64, str_hash_u64
+
+    bys_l = [by_left] if isinstance(by_left, str) else list(by_left)
+    bys_r = [by_right] if isinstance(by_right, str) else list(by_right)
+    if not bys_l or len(bys_l) != len(bys_r):
+        raise ValueError("by_left/by_right must be non-empty and the same length")
 
     lsch, rsch = left.schema(), right.schema()
     lcols = list(lsch.names)
-    rkeep = [n for n in rsch.names if n != by_right]
+    rkeep = [n for n in rsch.names if n not in bys_r]
     rename = {n: f"{n}_r" for n in rkeep if n in lcols}
     rcols_out = [rename.get(n, n) for n in rkeep]
     on_right_out = rename.get(on_right, on_right)
     tb_out = rename.get(tiebreak, tiebreak) if tiebreak else None
     ltypes = dict(zip(lsch.names, lsch.types))
-    rtypes = {rename.get(n, n): t for n, t in zip(rsch.names, rsch.types) if n != by_right}
-    # the by-key rides in ONE shared column so both sides bucket identically
+    rtypes = {rename.get(n, n): t for n, t in zip(rsch.names, rsch.types) if n not in bys_r}
+    # the by-key rides in shared (left-named) columns so both sides
+    # bucket identically
     unified = pa.schema(
         [(n, ltypes[n]) for n in lcols]
         + [(n, rtypes[n]) for n in rcols_out]
         + [("_side", pa.int8())]
     )
+    r_of_l = dict(zip(bys_l, bys_r))  # shared key col -> right-side source
 
-    def conform(side: int, colmap: dict, key_src: str):
+    def bucket_multi(out: pa.Table) -> np.ndarray:
+        h = str_hash_u64(out.column(bys_l[0]).cast(pa.string()))
+        for i, b in enumerate(bys_l[1:], 1):
+            h = splitmix64(h ^ str_hash_u64(out.column(b).cast(pa.string()), seed=i))
+        return (h % np.uint64(num_buckets)).astype(np.int32)
+
+    def conform(side: int, colmap: dict):
         def fn(t: pa.Table) -> pa.Table:
             cols = []
             for f in unified:
                 if f.name == "_side":
                     cols.append(pa.array(np.full(t.num_rows, side, dtype=np.int8)))
-                elif f.name == by_left and side == 1:
-                    cols.append(t.column(key_src).cast(f.type))
+                elif side == 1 and f.name in r_of_l:
+                    cols.append(t.column(r_of_l[f.name]).cast(f.type))
                 else:
                     src = colmap.get(f.name)
                     if src is not None and src in t.column_names:
@@ -517,30 +535,30 @@ def asof_join(
                     else:
                         cols.append(pa.nulls(t.num_rows, type=f.type))
             out = pa.Table.from_arrays(cols, schema=unified)
-            return out.append_column(
-                "_bucket", pa.array(bucket_of(out.column(by_left), num_buckets))
-            )
+            return out.append_column("_bucket", pa.array(bucket_multi(out)))
 
         return fn
 
     lmap = {n: n for n in lcols}
     rmap = {rename.get(n, n): n for n in rkeep}
     tagged = left.map_batches(
-        conform(0, lmap, by_left), batch_format="pyarrow", batch_size=batch_size
+        conform(0, lmap), batch_format="pyarrow", batch_size=batch_size
     ).union(
-        right.map_batches(conform(1, rmap, by_right), batch_format="pyarrow", batch_size=batch_size)
+        right.map_batches(conform(1, rmap), batch_format="pyarrow", batch_size=batch_size)
     )
 
-    left_only = [n for n in lcols if n != by_left]
+    left_only = [n for n in lcols if n not in bys_l]
     want = pa.schema([(f.name, f.type) for f in unified if f.name != "_side"])
 
     def join_bucket(g: pa.Table) -> pa.Table:
         import pandas as pd
 
         side = np.asarray(g["_side"])
-        lt = g.filter(pa.array(side == 0)).select([by_left, *left_only]).combine_chunks()
-        rt = g.filter(pa.array(side == 1)).select([by_left, *rcols_out]).combine_chunks()
-        ok = pc.and_(pc.is_valid(rt.column(by_left)), pc.is_valid(rt.column(on_right_out)))
+        lt = g.filter(pa.array(side == 0)).select([*bys_l, *left_only]).combine_chunks()
+        rt = g.filter(pa.array(side == 1)).select([*bys_l, *rcols_out]).combine_chunks()
+        ok = pc.is_valid(rt.column(on_right_out))
+        for b in bys_l:
+            ok = pc.and_(ok, pc.is_valid(rt.column(b)))
         rt = rt.filter(ok)
         # deterministic winner among on_right ties: sort right ascending by
         # (time, tiebreak); merge_asof keeps the LAST equal-time row
@@ -551,30 +569,29 @@ def asof_join(
         # a null time matches nothing; a null by-key matches nothing
         # (merge_asof also refuses null 'by' values) — both take the
         # unmatched path
-        lvalid = pc.and_(pc.is_valid(lt.column(on_left)), pc.is_valid(lt.column(by_left)))
+        lvalid = pc.is_valid(lt.column(on_left))
+        for b in bys_l:
+            lvalid = pc.and_(lvalid, pc.is_valid(lt.column(b)))
         lt_ok = lt.filter(lvalid)
         lt_null = lt.filter(pc.invert(lvalid))
         li_ok = np.flatnonzero(np.asarray(lvalid))
         lsorted = np.argsort(
             lt_ok.column(on_left).to_pandas().to_numpy(), kind="stable"
         )
+        ks = [f"k{i}" for i in range(len(bys_l))]
+        lframe = {"t": lt_ok.column(on_left).to_pandas().to_numpy()[lsorted]}
+        lframe.update(
+            {k: lt_ok.column(b).to_pandas().to_numpy()[lsorted] for k, b in zip(ks, bys_l)}
+        )
+        lframe["li"] = li_ok[lsorted]
+        rframe = {"t": rt.column(on_right_out).to_pandas()}
+        rframe.update({k: rt.column(b).to_pandas() for k, b in zip(ks, bys_l)})
+        rframe["ri"] = np.arange(rt.num_rows)
         m = pd.merge_asof(
-            pd.DataFrame(
-                {
-                    "t": lt_ok.column(on_left).to_pandas().to_numpy()[lsorted],
-                    "k": lt_ok.column(by_left).to_pandas().to_numpy()[lsorted],
-                    "li": li_ok[lsorted],
-                }
-            ),
-            pd.DataFrame(
-                {
-                    "t": rt.column(on_right_out).to_pandas(),
-                    "k": rt.column(by_left).to_pandas(),
-                    "ri": np.arange(rt.num_rows),
-                }
-            ),
+            pd.DataFrame(lframe),
+            pd.DataFrame(rframe),
             on="t",
-            by="k",
+            by=ks,
             direction="backward",
             allow_exact_matches=True,
         )
@@ -587,7 +604,7 @@ def asof_join(
                  pa.nulls(lt_null.num_rows, pa.int64())]
             )
         li_arr = pa.array(li)
-        named = {c: lt.column(c).take(li_arr) for c in (by_left, *left_only)}
+        named = {c: lt.column(c).take(li_arr) for c in (*bys_l, *left_only)}
         named.update({c: rt.column(c).take(ri) for c in rcols_out})
         out = pa.Table.from_arrays([named[f.name] for f in want], schema=want)
         if how == "inner":
@@ -1221,6 +1238,61 @@ def grouped_concat(
         return pa.table(
             {key: kcol.take(pa.array(starts)), out_col: pc.binary_join(lists, sep)}
         )
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def grouped_ntile(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    n_tiles: int,
+    out_col: str = "tile",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key NTILE (SQL ``ntile(b) OVER (PARTITION BY key ORDER BY
+    ...)``): every row gets a 1-based tile number, the first ``n % b``
+    tiles one row larger — the deterministic stratified train/val/test
+    split (tile by quality rank within each language, keep tile 1).
+
+    Shape: ONE bounded hash-bucket shuffle on ``key``, vectorized
+    in-bucket kernel (sort, run boundaries, cumcount rank, closed-form
+    tile fill — no per-group callback). Pass a TOTAL ``order_cols``
+    (end with a unique id) for replay-stable tiles; NULL keys form one
+    group (SQL PARTITION BY convention)."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    from raycdc.util import bucket_of
+
+    order = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=order)).combine_chunks()
+        n = g.num_rows
+        new_key = _run_boundaries(g.column(key), n)
+        starts_at = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        rank = np.arange(n) - starts_at  # 0-based within key
+        sizes = np.flatnonzero(new_key)
+        cnt = (np.r_[sizes[1:], n] - sizes)  # per-key row count
+        nrow = cnt[np.cumsum(new_key) - 1]  # broadcast count to rows
+        size = nrow // n_tiles
+        rem = nrow % n_tiles
+        cut = rem * (size + 1)
+        tile = np.where(
+            rank < cut,
+            rank // (size + 1),
+            rem + (rank - cut) // np.maximum(size, 1),
+        ) + 1
+        return g.append_column(out_col, pa.array(tile.astype(np.int64)))
 
     return (
         ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)

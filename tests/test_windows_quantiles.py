@@ -380,3 +380,87 @@ def test_grouped_concat_matches_string_agg():
     kn = np.asarray(got["user_id"].isna()) & np.asarray(want["user_id"].isna())
     assert ((got["user_id"].to_numpy() == want["user_id"].to_numpy()) | kn).all()
     assert (got["seq"].to_numpy() == want["seq"].to_numpy()).all()
+
+
+def test_asof_join_composite_key():
+    # composite (tenant, user) entity key vs a single-key equivalent
+    # built by fusing the two columns — results must agree; DuckDB ASOF
+    # could check too but the fused single-key path is already oracle-
+    # covered, so equivalence is the stronger internal check here
+    from raycdc.ops import asof_join
+
+    rng = np.random.default_rng(61)
+    n_l, n_r = 1500, 600
+    lt = pa.table(
+        {
+            "tenant": pa.array(rng.integers(0, 3, n_l).astype(np.int64)),
+            "user": pa.array(rng.integers(0, 20, n_l).astype(np.int64)),
+            "t": pa.array(rng.integers(0, 10_000, n_l).astype(np.int64)),
+            "eid": pa.array(np.arange(n_l, dtype=np.int64)),
+        }
+    )
+    rt = pa.table(
+        {
+            "tn": pa.array(rng.integers(0, 3, n_r).astype(np.int64)),
+            "usr": pa.array(rng.integers(0, 20, n_r).astype(np.int64)),
+            "rt": pa.array(rng.integers(0, 10_000, n_r).astype(np.int64)),
+            "state": pa.array(np.arange(n_r, dtype=np.int64)),
+        }
+    )
+    multi = asof_join(
+        rd.from_arrow(lt).repartition(4), rd.from_arrow(rt).repartition(3),
+        on_left="t", on_right="rt", by_left=["tenant", "user"],
+        by_right=["tn", "usr"], tiebreak="state", num_buckets=8,
+    ).to_pandas()
+
+    fuse_l = lt.append_column(
+        "fk", pc.add(pc.multiply(lt["tenant"], 1000), lt["user"])
+    ).drop_columns(["tenant", "user"])
+    fuse_r = rt.append_column(
+        "fk", pc.add(pc.multiply(rt["tn"], 1000), rt["usr"])
+    ).drop_columns(["tn", "usr"])
+    single = asof_join(
+        rd.from_arrow(fuse_l).repartition(4), rd.from_arrow(fuse_r).repartition(3),
+        on_left="t", on_right="rt", by_left="fk", by_right="fk",
+        tiebreak="state", num_buckets=8,
+    ).to_pandas()
+
+    m = multi.sort_values("eid").reset_index(drop=True)
+    s = single.sort_values("eid").reset_index(drop=True)
+    assert m.shape[0] == s.shape[0] == n_l
+    for c in ("rt", "state"):
+        a, b = m[c].to_numpy(), s[c].to_numpy()
+        nn = m[c].isna().to_numpy() & s[c].isna().to_numpy()
+        assert ((a == b) | nn).all(), c
+
+
+def test_grouped_ntile_matches_sql_ntile():
+    t = _events(n=3000, seed=71, with_nulls=True)
+    from raycdc.ops import grouped_ntile
+
+    out = grouped_ntile(
+        rd.from_arrow(t).repartition(5), "user_id",
+        order_cols=["cents", "event_id"], n_tiles=4, num_buckets=8, batch_size=400,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT event_id, user_id,
+               ntile(4) OVER (PARTITION BY user_id ORDER BY cents, event_id) AS tile
+        FROM events
+        """,
+    ).to_pandas()
+    got = out[["event_id", "user_id", "tile"]].sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got.shape == want.shape
+    assert (got["tile"].to_numpy() == want["tile"].to_numpy()).all()
+
+
+def test_grouped_ntile_fewer_rows_than_tiles():
+    t = pa.table({"k": pa.array([1, 1], type=pa.int64()),
+                  "v": pa.array([5, 3], type=pa.int64())})
+    from raycdc.ops import grouped_ntile
+
+    out = (grouped_ntile(rd.from_arrow(t), "k", ["v"], n_tiles=4)
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    assert out["tile"].tolist() == [1, 2]
