@@ -923,6 +923,16 @@ def q_events_distinct_users_approx(sf_dir: str):
     return grouped_nunique_approx(_ev(sf_dir), "event_type", "user_id")
 
 
+def q_top_words(sf_dir: str):
+    """Corpus vocabulary heavy hitters (exact): top-20 words by global
+    count — vocabulary-sized partials shuffle, never token streams;
+    deterministic (count desc, word asc) head matches the SQL oracle's
+    ORDER BY ... LIMIT bit-for-bit."""
+    from raycdc.extras.text import top_words
+
+    return top_words(_docs(sf_dir), k=20)
+
+
 def q_docs_length_tiles(sf_dir: str):
     """Deterministic stratified split: quartile tiles of document length
     WITHIN each language (the keep-tile-1 / split-by-tile curation move).
@@ -1066,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_quantile_hist": q_events_type_quantile_hist,
         "user_event_sequence": q_user_event_sequence,
         "docs_length_tiles": q_docs_length_tiles,
+        "top_words": q_top_words,
         "docs_outlier_filter": q_docs_outlier_filter,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1287,6 +1298,14 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_unique
             FROM events GROUP BY event_type
+        """,
+        "top_words": """
+            WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+                       FROM documents)
+            SELECT word, count(*) AS n
+            FROM w GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 20
         """,
         "docs_length_tiles": """
             SELECT doc_id, lang,

@@ -161,3 +161,42 @@ def analyze(ds: ray.data.Dataset, text_col: str = "text", concurrency: int = 4,
                         batch_size=batch_size)
     return ds.map_batches(lambda t: fingerprint_batch(t, text_col), batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def top_words(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 20,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Global word-frequency top-k — the exact heavy-hitters path (the
+    corpus-vocabulary question: dominant tokens/domains for
+    contamination and dedup lists).
+
+    Shape: per batch, one vectorized polars pass (lowercase →
+    ``extract_all(WORD_PATTERN)`` → explode → value_counts) yields EXACT
+    local (word, n) partials, so only vocabulary-sized partials shuffle,
+    never token streams; a combiner groupby sums them and
+    :func:`raycdc.ops.top_k` takes the deterministic head
+    (count desc, word asc — same total order as the SQL oracle's
+    ``ORDER BY n DESC, word LIMIT k``).
+    """
+    import polars as pl
+
+    from raycdc.ops import partial_groupby_agg, top_k
+
+    def words(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).cast(pa.string()).combine_chunks()
+        s = pl.Series("w", pl.from_arrow(col)).str.to_lowercase()
+        counts = (
+            s.str.extract_all(WORD_PATTERN).explode().drop_nulls().value_counts()
+        )
+        arr = counts.to_arrow()
+        return pa.table(
+            {"word": arr.column(0).cast(pa.string()), "n": arr.column(1).cast(pa.int64())}
+        )
+
+    partials = ds.map_batches(words, batch_format="pyarrow", batch_size=batch_size)
+    totals = partial_groupby_agg(partials, "word", {"n": ("n", "sum")},
+                                 batch_size=65536)
+    return top_k(totals, by="n", k=k, descending=True, tiebreak="word")

@@ -461,3 +461,17 @@ def test_ngram_jaccard_exact_pairs():
     out2 = collect(exact_jaccard_pairs(rd.from_arrow(t).repartition(5), threshold=0.2, n=3))
     got2 = {(r["id_a"], r["id_b"]): r["jacc"] for r in out2.to_pylist()}
     assert got == got2
+
+
+def test_top_words_exact_counts():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycdc.extras.text import top_words
+
+    docs = pa.table(
+        {"text": pa.array(["the cat and the dog", "THE Cat!", None, "", "dog dog zz"])}
+    )
+    out = top_words(rd.from_arrow(docs).repartition(3), k=3, batch_size=2).take_all()
+    # counts: the=3, dog=3, cat=2, and=1, zz=1 → top3 by (n desc, word asc)
+    assert [(r["word"], r["n"]) for r in out] == [("dog", 3), ("the", 3), ("cat", 2)]
