@@ -252,7 +252,7 @@ def deterministic_sample(
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
-    key: str,
+    key: str | list[str],
     how: str = "inner",
     num_buckets: int = 64,
     batch_size: int = 65536,
@@ -269,28 +269,40 @@ def hash_join(
     3. each bucket splits by side and joins with a vectorized pandas
        merge.
 
-    ``how`` ∈ {"inner", "left"}. Column-name collisions (other than
-    ``key``) take a ``_r`` suffix from the right side. Partitioning
-    assumption: any single bucket's rows fit a worker (raise
-    ``num_buckets`` for bigger data; salt upstream for a pathological
-    hot key)."""
+    ``how`` ∈ {"inner", "left"}. ``key`` may be a LIST of column names
+    (same names on both sides) for a composite join key — buckets are
+    the combined key hash, and a NULL in ANY component means no match.
+    Column-name collisions (other than the keys) take a ``_r`` suffix
+    from the right side. Partitioning assumption: any single bucket's
+    rows fit a worker (raise ``num_buckets`` for bigger data; salt
+    upstream for a pathological hot key)."""
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
-    from raycdc.util import bucket_of
+    from raycdc.util import splitmix64, str_hash_u64
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if not keys:
+        raise ValueError("key must be non-empty")
 
     lsch, rsch = left.schema(), right.schema()
     lcols = list(lsch.names)
     rename = {
-        n: f"{n}_r" for n in rsch.names if n != key and n in lcols
+        n: f"{n}_r" for n in rsch.names if n not in keys and n in lcols
     }
-    rcols_out = [rename.get(n, n) for n in rsch.names if n != key]
+    rcols_out = [rename.get(n, n) for n in rsch.names if n not in keys]
     ltypes = dict(zip(lsch.names, lsch.types))
-    rtypes = {rename.get(n, n): t for n, t in zip(rsch.names, rsch.types) if n != key}
+    rtypes = {rename.get(n, n): t for n, t in zip(rsch.names, rsch.types) if n not in keys}
     unified = pa.schema(
         [(n, ltypes[n]) for n in lcols]
         + [(n, rtypes[n]) for n in rcols_out]
         + [("_side", pa.int8())]
     )
+
+    def bucket_multi(out: pa.Table) -> np.ndarray:
+        h = str_hash_u64(out.column(keys[0]).cast(pa.string()))
+        for i, b in enumerate(keys[1:], 1):
+            h = splitmix64(h ^ str_hash_u64(out.column(b).cast(pa.string()), seed=i))
+        return (h % np.uint64(num_buckets)).astype(np.int32)
 
     def conform(side: int, colmap: dict):
         def fn(t: pa.Table) -> pa.Table:
@@ -305,7 +317,7 @@ def hash_join(
                     else:
                         cols.append(pa.nulls(t.num_rows, type=f.type))
             out = pa.Table.from_arrays(cols, schema=unified)
-            return out.append_column("_bucket", pa.array(bucket_of(out.column(key), num_buckets)))
+            return out.append_column("_bucket", pa.array(bucket_multi(out)))
 
         return fn
 
@@ -315,37 +327,45 @@ def hash_join(
         right.map_batches(conform(1, rmap), batch_format="pyarrow", batch_size=batch_size)
     )
 
-    left_only = [n for n in lcols if n != key]
+    left_only = [n for n in lcols if n not in keys]
     want = pa.schema([(f.name, f.type) for f in unified if f.name != "_side"])
 
     def join_bucket(g: pa.Table) -> pa.Table:
         import pandas as pd
 
         side = np.asarray(g["_side"])
-        lt = g.filter(pa.array(side == 0)).select([key, *left_only]).combine_chunks()
-        rt = g.filter(pa.array(side == 1)).select([key, *rcols_out]).combine_chunks()
+        lt = g.filter(pa.array(side == 0)).select([*keys, *left_only]).combine_chunks()
+        rt = g.filter(pa.array(side == 1)).select([*keys, *rcols_out]).combine_chunks()
         # SQL `JOIN ON =` semantics: NULL keys never match (pandas merge
         # would pair NaN with NaN). Dropping right-side null keys suffices:
         # inner then drops unmatched left nulls; 'left' passes them through
         # with a null right side — exactly the oracle's behavior.
-        if rt.column(key).null_count:
-            rt = rt.filter(pc.is_valid(rt.column(key)))
-        if how == "inner" and lt.column(key).null_count:
-            lt = lt.filter(pc.is_valid(lt.column(key)))
-        # pandas merges only the (key, position) mapping — payload columns
+        if any(rt.column(b).null_count for b in keys):
+            rvalid = None
+            for b in keys:
+                rv = pc.is_valid(rt.column(b))
+                rvalid = rv if rvalid is None else pc.and_(rvalid, rv)
+            rt = rt.filter(rvalid)
+        if how == "inner" and any(lt.column(b).null_count for b in keys):
+            lvalid = None
+            for b in keys:
+                lv = pc.is_valid(lt.column(b))
+                lvalid = lv if lvalid is None else pc.and_(lvalid, lv)
+            lt = lt.filter(lvalid)
+        # pandas merges only the (keys, position) mapping — payload columns
         # are gathered by Arrow take (null indices emit nulls on 'left')
-        m = pd.merge(
-            pd.DataFrame({"k": lt.column(key).to_pandas(), "li": np.arange(lt.num_rows)}),
-            pd.DataFrame({"k": rt.column(key).to_pandas(), "ri": np.arange(rt.num_rows)}),
-            on="k",
-            how=how,
-        )
+        ks = [f"k{i}" for i in range(len(keys))]
+        lframe = {k: lt.column(b).to_pandas() for k, b in zip(ks, keys)}
+        lframe["li"] = np.arange(lt.num_rows)
+        rframe = {k: rt.column(b).to_pandas() for k, b in zip(ks, keys)}
+        rframe["ri"] = np.arange(rt.num_rows)
+        m = pd.merge(pd.DataFrame(lframe), pd.DataFrame(rframe), on=ks, how=how)
         li = pa.array(m["li"].to_numpy(np.int64))
         ri = pa.Array.from_pandas(m["ri"].astype("Int64"))
         # build by NAME, not position: `want` keeps the left's column order,
-        # which differs from (key, *left_only) whenever the join key is not
+        # which differs from (*keys, *left_only) whenever a join key is not
         # the left's first column
-        named = {c: lt.column(c).take(li) for c in (key, *left_only)}
+        named = {c: lt.column(c).take(li) for c in (*keys, *left_only)}
         named.update({c: rt.column(c).take(ri) for c in rcols_out})
         return pa.Table.from_arrays([named[f.name] for f in want], schema=want)
 

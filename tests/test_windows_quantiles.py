@@ -464,3 +464,39 @@ def test_grouped_ntile_fewer_rows_than_tiles():
     out = (grouped_ntile(rd.from_arrow(t), "k", ["v"], n_tiles=4)
            .to_pandas().sort_values("v").reset_index(drop=True))
     assert out["tile"].tolist() == [1, 2]
+
+
+def test_hash_join_composite_key():
+    from raycdc.ops import hash_join
+
+    lt = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, None], type=pa.int64()),
+            "b": pa.array(["x", "y", "x", None, "x"]),
+            "lv": pa.array([10, 20, 30, 40, 50], type=pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "a": pa.array([1, 2, 1, None], type=pa.int64()),
+            "b": pa.array(["x", "x", "x", "x"]),
+            "rv": pa.array([100, 200, 300, 400], type=pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    for how, sqlhow in (("inner", "JOIN"), ("left", "LEFT JOIN")):
+        out = hash_join(
+            rd.from_arrow(lt).repartition(2), rd.from_arrow(rt), ["a", "b"],
+            how=how, num_buckets=4,
+        ).to_pandas()
+        want = con.execute(
+            f"SELECT l.a, l.b, l.lv, r.rv FROM l {sqlhow} r ON r.a = l.a AND r.b = l.b"
+        ).df()
+        got = out.sort_values(["lv", "rv"]).reset_index(drop=True)
+        want = want.sort_values(["lv", "rv"]).reset_index(drop=True)
+        assert got.shape == want.shape, how
+        for c in want.columns:
+            nn = got[c].isna().to_numpy() & want[c].isna().to_numpy()
+            assert ((got[c].to_numpy() == want[c].to_numpy()) | nn).all(), (how, c)
