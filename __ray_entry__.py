@@ -923,6 +923,70 @@ def q_events_distinct_users_approx(sf_dir: str):
     return grouped_nunique_approx(_ev(sf_dir), "event_type", "user_id")
 
 
+def q_events_running_total(sf_dir: str):
+    """Per-key running total (watermark / cumulative exposure): each
+    event carries its user's cents-sum so far, in (ts, event_id) order.
+    Integer cents keep both engines exact under any summation order."""
+    from raycdc.ops import grouped_cumsum
+
+    cents = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]).append_column(
+            "cents", pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_cumsum(
+        cents, "user_id", order_cols=["ts", "event_id"], val_col="cents",
+        out_col="running_cents",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "running_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_prev_value(sf_dir: str):
+    """Per-key LAG: each event carries its user's previous event value
+    (the delta/previous-state feature). Total (ts, event_id) order makes
+    it replay-stable; the value is COPIED, not computed, so doubles
+    match the SQL window oracle bit-for-bit."""
+    from raycdc.ops import grouped_lag
+
+    out = grouped_lag(
+        _ev(sf_dir).map_batches(
+            lambda t: t.select(["event_id", "user_id", "ts", "value"]),
+            batch_format="pyarrow",
+        ),
+        "user_id", order_cols=["ts", "event_id"], val_col="value",
+        out_col="prev_value",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "prev_value"]), batch_format="pyarrow"
+    )
+
+
+def q_events_anti_orders(sf_dir: str):
+    """Large×large anti-join (SQL NOT EXISTS): events whose user placed
+    no even-keyed order — the orphan-routing pattern at scale, where the
+    right side is too big to broadcast (the even-custkey cut keeps the
+    result non-trivial: the full order set covers every user). Only the
+    order keys conform and shuffle; order payload columns never ship."""
+    from raycdc.ops import hash_join
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id"]), batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["o_custkey"], 1), 0)
+        ).rename_columns(["user_id"]),
+        batch_format="pyarrow",
+    )
+    return hash_join(ev, orders, "user_id", how="anti")
+
+
 def q_top_words(sf_dir: str):
     """Corpus vocabulary heavy hitters (exact): top-20 words by global
     count — vocabulary-sized partials shuffle, never token streams;
@@ -1077,6 +1141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequence": q_user_event_sequence,
         "docs_length_tiles": q_docs_length_tiles,
         "top_words": q_top_words,
+        "events_anti_orders": q_events_anti_orders,
+        "events_prev_value": q_events_prev_value,
+        "events_running_total": q_events_running_total,
         "docs_outlier_filter": q_docs_outlier_filter,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1298,6 +1365,30 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_unique
             FROM events GROUP BY event_type
+        """,
+        "events_running_total": """
+            WITH c AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(sum(cents) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS running_cents
+            FROM c
+        """,
+        "events_prev_value": """
+            SELECT event_id, user_id,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_value
+            FROM events
+        """,
+        "events_anti_orders": """
+            SELECT event_id, user_id
+            FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = e.user_id
+                                AND o.o_custkey % 2 = 0)
         """,
         "top_words": """
             WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word

@@ -269,29 +269,40 @@ def hash_join(
     3. each bucket splits by side and joins with a vectorized pandas
        merge.
 
-    ``how`` ∈ {"inner", "left"}. ``key`` may be a LIST of column names
-    (same names on both sides) for a composite join key — buckets are
-    the combined key hash, and a NULL in ANY component means no match.
-    Column-name collisions (other than the keys) take a ``_r`` suffix
-    from the right side. Partitioning assumption: any single bucket's
-    rows fit a worker (raise ``num_buckets`` for bigger data; salt
-    upstream for a pathological hot key)."""
-    if how not in ("inner", "left"):
-        raise ValueError("how must be 'inner' or 'left'")
+    ``how`` ∈ {"inner", "left", "semi", "anti"}. ``key`` may be a LIST
+    of column names (same names on both sides) for a composite join key
+    — buckets are the combined key hash, and a NULL in ANY component
+    means no match. ``semi`` / ``anti`` are SQL EXISTS / NOT EXISTS:
+    left rows kept once iff a match exists / doesn't; the right side's
+    payload columns never ship (only its key columns are conformed) and
+    a null-keyed left row is anti-kept (it matches nothing). Column-name
+    collisions (other than the keys) take a ``_r`` suffix from the right
+    side. Partitioning assumption: any single bucket's rows fit a worker
+    (raise ``num_buckets`` for bigger data; salt upstream for a
+    pathological hot key)."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError("how must be one of 'inner', 'left', 'semi', 'anti'")
     from raycdc.util import splitmix64, str_hash_u64
 
     keys = [key] if isinstance(key, str) else list(key)
     if not keys:
         raise ValueError("key must be non-empty")
+    membership = how in ("semi", "anti")
 
     lsch, rsch = left.schema(), right.schema()
     lcols = list(lsch.names)
     rename = {
         n: f"{n}_r" for n in rsch.names if n not in keys and n in lcols
     }
-    rcols_out = [rename.get(n, n) for n in rsch.names if n not in keys]
+    rcols_out = (
+        [] if membership else [rename.get(n, n) for n in rsch.names if n not in keys]
+    )
     ltypes = dict(zip(lsch.names, lsch.types))
-    rtypes = {rename.get(n, n): t for n, t in zip(rsch.names, rsch.types) if n not in keys}
+    rtypes = {
+        rename.get(n, n): t
+        for n, t in zip(rsch.names, rsch.types)
+        if n not in keys and not membership
+    }
     unified = pa.schema(
         [(n, ltypes[n]) for n in lcols]
         + [(n, rtypes[n]) for n in rcols_out]
@@ -359,6 +370,22 @@ def hash_join(
         lframe["li"] = np.arange(lt.num_rows)
         rframe = {k: rt.column(b).to_pandas() for k, b in zip(ks, keys)}
         rframe["ri"] = np.arange(rt.num_rows)
+        if membership:
+            # EXISTS probe: dedup the right key set, 1:1 left-merge with an
+            # indicator — each left row emitted at most once, in order
+            m = pd.merge(
+                pd.DataFrame(lframe),
+                pd.DataFrame(rframe).drop_duplicates(ks),
+                on=ks,
+                how="left",
+                indicator=True,
+            )
+            hit = (m["_merge"] == "both").to_numpy()
+            keep = pa.array(hit if how == "semi" else ~hit)
+            out = lt.filter(keep)
+            return pa.Table.from_arrays(
+                [out.column(f.name) for f in want], schema=want
+            )
         m = pd.merge(pd.DataFrame(lframe), pd.DataFrame(rframe), on=ks, how=how)
         li = pa.array(m["li"].to_numpy(np.int64))
         ri = pa.Array.from_pandas(m["ri"].astype("Int64"))
@@ -1313,6 +1340,101 @@ def grouped_ntile(
             rem + (rank - cut) // np.maximum(size, 1),
         ) + 1
         return g.append_column(out_col, pa.array(tile.astype(np.int64)))
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def grouped_lag(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    val_col: str,
+    periods: int = 1,
+    out_col: str = "prev",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key LAG (SQL ``lag(val, p) OVER (PARTITION BY key ORDER BY
+    ...)``): every row gains the value ``periods`` rows earlier within
+    its key, NULL when fewer rows precede it — the previous-state /
+    delta-feature op.
+
+    Shape: ONE bounded hash-bucket shuffle on ``key``, vectorized
+    in-bucket kernel (sort, run boundaries, masked index take — the
+    lagged column is gathered with one Arrow ``take``, nulls where the
+    lag crosses a key boundary). Pass a TOTAL ``order_cols`` for
+    replay-stable output; NULL keys form one group."""
+    if periods < 1:
+        raise ValueError("periods must be >= 1")
+    from raycdc.util import bucket_of
+
+    order = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=order)).combine_chunks()
+        n = g.num_rows
+        new_key = _run_boundaries(g.column(key), n)
+        key_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        pos = np.arange(n)
+        lagged = pa.array(pos - periods, mask=(pos - key_start) < periods)
+        return g.append_column(out_col, g.column(val_col).take(lagged))
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def grouped_cumsum(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "running",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key running total (SQL ``sum(val) OVER (PARTITION BY key
+    ORDER BY ... ROWS UNBOUNDED PRECEDING)``) — the watermark /
+    cumulative-exposure feature. Integer inputs stay exact under any
+    engine (no float reassociation); NULL values add zero but the row
+    still appears (SQL window-sum convention over an all-null prefix
+    yields NULL — here a leading NULL run yields 0-valued sums once a
+    value arrives, so pass a non-null ``val_col`` or pre-fill to match a
+    SQL oracle exactly; the shipped query uses a non-null column).
+
+    Shape: ONE bounded hash-bucket shuffle on ``key``, vectorized
+    in-bucket kernel — global cumsum re-based at each key start (the
+    same two-mask trick as :func:`grouped_quantile_hist`)."""
+    from raycdc.util import bucket_of
+
+    order = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=order)).combine_chunks()
+        n = g.num_rows
+        vals = np.asarray(g.column(val_col).cast(pa.int64()).fill_null(0))
+        new_key = _run_boundaries(g.column(key), n)
+        csum = np.cumsum(vals)
+        # re-base at each key start: run[i] = csum[i] - csum[start-1], so
+        # the key-start row's own value stays in
+        base = np.concatenate([[0], csum])[
+            np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        ]
+        return g.append_column(out_col, pa.array((csum - base).astype(np.int64)))
 
     return (
         ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)

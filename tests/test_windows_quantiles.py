@@ -500,3 +500,86 @@ def test_hash_join_composite_key():
         for c in want.columns:
             nn = got[c].isna().to_numpy() & want[c].isna().to_numpy()
             assert ((got[c].to_numpy() == want[c].to_numpy()) | nn).all(), (how, c)
+
+
+def test_hash_join_semi_anti():
+    from raycdc.ops import hash_join
+
+    lt = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 3, None], type=pa.int64()),
+            "lv": pa.array([10, 20, 30, 40, 50], type=pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "a": pa.array([1, 1, 3, None], type=pa.int64()),
+            "rv": pa.array([100, 200, 300, 400], type=pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    for how, sql in (
+        ("semi", "SELECT a, lv FROM l WHERE EXISTS (SELECT 1 FROM r WHERE r.a = l.a)"),
+        ("anti", "SELECT a, lv FROM l WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.a = l.a)"),
+    ):
+        out = hash_join(
+            rd.from_arrow(lt).repartition(2), rd.from_arrow(rt), "a",
+            how=how, num_buckets=4,
+        ).to_pandas()
+        want = con.execute(sql).df()
+        got = out.sort_values("lv").reset_index(drop=True)
+        want = want.sort_values("lv").reset_index(drop=True)
+        assert got.shape == want.shape, how
+        assert list(got.columns) == ["a", "lv"], how  # no right payload
+        for c in want.columns:
+            nn = got[c].isna().to_numpy() & want[c].isna().to_numpy()
+            assert ((got[c].to_numpy() == want[c].to_numpy()) | nn).all(), (how, c)
+
+
+def test_grouped_lag_matches_sql_lag():
+    t = _events(n=3000, seed=83, with_nulls=True)
+    from raycdc.ops import grouped_lag
+
+    for p in (1, 3):
+        out = grouped_lag(
+            rd.from_arrow(t).repartition(5), "user_id",
+            order_cols=["ts", "event_id"], val_col="cents", periods=p,
+            num_buckets=8, batch_size=400,
+        ).to_pandas()
+        want = _duck(
+            t,
+            f"""
+            SELECT event_id,
+                   lag(cents, {p}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+            """,
+        ).to_pandas()
+        got = out[["event_id", "prev"]].sort_values("event_id").reset_index(drop=True)
+        want = want.sort_values("event_id").reset_index(drop=True)
+        nn = got["prev"].isna().to_numpy() & want["prev"].isna().to_numpy()
+        assert ((got["prev"].to_numpy() == want["prev"].to_numpy()) | nn).all(), p
+
+
+def test_grouped_cumsum_matches_sql_window_sum():
+    t = _events(n=3000, seed=97)
+    from raycdc.ops import grouped_cumsum
+
+    out = grouped_cumsum(
+        rd.from_arrow(t).repartition(5), "user_id",
+        order_cols=["ts", "event_id"], val_col="cents", out_col="running",
+        num_buckets=8, batch_size=400,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT event_id,
+               CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+        FROM events
+        """,
+    ).to_pandas()
+    got = out[["event_id", "running"]].sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert (got["running"].to_numpy() == want["running"].to_numpy()).all()
