@@ -7,10 +7,10 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 SURVEY.md §2 (+ the training-data extras); ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for every SQL-expressible one, with matching
 column names. The rows-only entries (the synthesized-token CDC replay,
-MinHash/SimHash sketches, LSH and IVF approximate paths, block-local
-packing, multimodal features, metrics) are approximate or stateful by
-nature; each is pytest-gated instead (exact-fold, IVF-vs-brute, PPM
-round-trip).
+MinHash/SimHash sketches, the HyperLogLog cardinality sketch, LSH and
+IVF approximate paths, block-local packing, multimodal features,
+metrics) are approximate or stateful by nature; each is pytest-gated
+instead (exact-fold, error-bound, IVF-vs-brute, PPM round-trip).
 """
 
 from __future__ import annotations
