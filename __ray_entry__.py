@@ -34,6 +34,21 @@ def _ev(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+def _query_vecs(sf_dir: str, qids: list[int]) -> dict[int, "np.ndarray"]:
+    """Fetch query vectors by id with a PRUNED parquet read (columns +
+    row-group predicate pushdown) — never the whole embeddings table on
+    the driver (the brief's prune-at-the-read rule; at 100 TB the
+    unfiltered read would be the pipeline)."""
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", qids)],
+    )
+    ids = qt["vec_id"].to_pylist()
+    vecs = qt["embedding"].to_pylist()
+    return {i: np.asarray(v, dtype=np.float64) for i, v in zip(ids, vecs)}
+
+
 def _docs(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -132,7 +147,7 @@ def q_cdc_date_shift(sf_dir: str):
                 "shift_us", pa.array(shift, type=pa.int64())
             )
 
-    return ds.map_batches(Shift, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Shift, batch_format="pyarrow", concurrency=(1, 2))
 
 
 def q_cdc_date_shift_shuffle(sf_dir: str):
@@ -484,8 +499,7 @@ def q_knn_brute(sf_dir: str):
     """Brute-force cosine top-10 to the vec_id=0 query vector: per-batch
     numpy matmul against a broadcast query, then a tiny global top-k."""
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(emb_path)
-    qv = np.asarray(qt.filter(pc.equal(qt["vec_id"], 0))["embedding"].to_pylist()[0], dtype=np.float64)
+    qv = _query_vecs(sf_dir, [0])[0]
     qv = qv / np.linalg.norm(qv)
     ref = ray.put(qv)
 
@@ -507,7 +521,7 @@ def q_knn_brute(sf_dir: str):
             )[:10]
             return out.take(idx)
 
-    ds = rd.read_parquet(emb_path).map_batches(Score, batch_format="pyarrow", concurrency=2)
+    ds = rd.read_parquet(emb_path).map_batches(Score, batch_format="pyarrow", concurrency=(1, 2))
 
     # candidates ≤ 10 × n_batches rows by construction → one-task fold
     # (Ray's Sort operator costs seconds of fixed overhead on tiny data)
@@ -526,16 +540,9 @@ def q_knn_multi(sf_dir: str):
     from raycdc.extras.similarity import knn_brute
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(emb_path)
     qids = [0, 1, 2]
-    vecs = []
-    for qid in qids:
-        vecs.append(
-            np.asarray(
-                qt.filter(pc.equal(qt["vec_id"], qid))["embedding"].to_pylist()[0],
-                dtype=np.float64,
-            )
-        )
+    by_id = _query_vecs(sf_dir, qids)
+    vecs = [by_id[qid] for qid in qids]
     out = knn_brute(rd.read_parquet(emb_path), np.stack(vecs), k=5)
     # query_id is the position in the query matrix == the vec_id here
     return out.map_batches(
@@ -606,7 +613,7 @@ def q_identity_substitute(sf_dir: str):
                 {"user_id": t["user_id"], "new_id": pa.array(new_id.tolist(), type=pa.string())}
             )
 
-    return users.map_batches(Sub, batch_format="pyarrow", concurrency=2)
+    return users.map_batches(Sub, batch_format="pyarrow", concurrency=(1, 2))
 
 
 def q_roundtrip_diffmerge(sf_dir: str):
@@ -629,14 +636,14 @@ def q_roundtrip_diffmerge(sf_dir: str):
         fn_constructor_kwargs={"ruleset": rules, "key": "doc_id", "password": "pw", "iterations": 10},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     ds = ds.map_batches(
         DecryptReidentify,
         fn_constructor_kwargs={"key": "doc_id", "password": "pw", "iterations": 10},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return ds.map_batches(
         lambda t: t.select(["doc_id", "text", "lang", "source", "n_chars"]),
@@ -779,7 +786,7 @@ def q_lang_id(sf_dir: str):
     from raycdc.extras.text import LangId
 
     return _docs(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", batch_size=256, concurrency=2
+        LangId, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
     ).map_batches(lambda t: t.select(["doc_id", "lang_pred", "lang_hits"]), batch_format="pyarrow")
 
 
@@ -787,7 +794,7 @@ def q_text_quality(sf_dir: str):
     from raycdc.extras.text import QualityScore
 
     return _docs(sf_dir).map_batches(
-        QualityScore, batch_format="pyarrow", batch_size=256, concurrency=2
+        QualityScore, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
     ).map_batches(
         lambda t: t.select(["doc_id", "stop_ratio", "mean_word_len", "punct_ratio", "quality"]),
         batch_format="pyarrow",
@@ -800,8 +807,7 @@ def q_knn_ivf(sf_dir: str):
     from raycdc.extras.similarity import IVFIndex
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(emb_path)
-    qv = np.asarray(qt.filter(pc.equal(qt["vec_id"], 0))["embedding"].to_pylist()[0], dtype=np.float64)
+    qv = _query_vecs(sf_dir, [0])[0]
     ds = rd.read_parquet(emb_path)
     idx = IVFIndex(n_clusters=8, n_iter=5).fit(ds)
     return idx.search(idx.assign(ds), qv, k=10, nprobe=4)
@@ -815,8 +821,7 @@ def q_knn_ivf_full_probe(sf_dir: str):
     from raycdc.extras.similarity import IVFIndex
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(emb_path)
-    qv = np.asarray(qt.filter(pc.equal(qt["vec_id"], 0))["embedding"].to_pylist()[0], dtype=np.float64)
+    qv = _query_vecs(sf_dir, [0])[0]
     ds = rd.read_parquet(emb_path)
     idx = IVFIndex(n_clusters=8, n_iter=5).fit(ds)
     out = idx.search(idx.assign(ds), qv, k=10, nprobe=8)
@@ -853,7 +858,7 @@ def q_multimodal_features(sf_dir: str):
         lambda t: t.append_column("did", pc.cast(t["doc_id"], pa.string())), batch_format="pyarrow"
     )
     media = attach_fake_media(docs, id_col="did", codec="ppm")
-    return decode_features(media, concurrency=2, batch_size=128, real=True)
+    return decode_features(media, concurrency=(1, 2), batch_size=128, real=True)
 
 
 def q_sessionize_events(sf_dir: str):

@@ -592,7 +592,7 @@ def embedding_near_dup(
         )
 
     cand = (
-        ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=(1, 2))
         .groupby(["_table", "_bucket"])
         .map_groups(pairs, batch_format="pyarrow")
     )

@@ -261,7 +261,7 @@ class SampleFrames:
         )
 
 
-def decode_features(ds: ray.data.Dataset, concurrency: int = 4,
+def decode_features(ds: ray.data.Dataset, concurrency: int | tuple[int, int] = (1, 4),
                     batch_size: int = 128, real: bool = False) -> ray.data.Dataset:
     """The canonical multimodal pipeline shape: small batches through an
     actor pool, heavy payloads dropped at the decode boundary."""

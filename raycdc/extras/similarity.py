@@ -37,7 +37,7 @@ def knn_brute(
     k: int = 10,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
-    concurrency: int = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 4096,
 ) -> ray.data.Dataset:
     """Exact cosine top-k: per-batch matmul vs broadcast query + local
@@ -70,7 +70,7 @@ def knn_brute(
             return pa.concat_tables(outs)
 
     scored = ds.map_batches(Score, batch_format="pyarrow", batch_size=batch_size,
-                            concurrency=concurrency)
+                            concurrency=concurrency)  # autoscaling pool: see module note
 
     # final reduce: the candidate set is ≤ k × n_batches × n_queries rows
     # BY CONSTRUCTION (each batch pruned to k per query), so it folds in
@@ -159,7 +159,7 @@ class IVFIndex:
             counts = np.zeros(len(c), dtype=np.int64)
             for b in (
                 sample.map_batches(Partial, batch_format="pyarrow", batch_size=4096,
-                                   concurrency=2)
+                                   concurrency=(1, 2))
                 .iter_batches(batch_size=None, batch_format="pyarrow")
             ):
                 cl = np.asarray(b["cluster"])
@@ -188,7 +188,11 @@ class IVFIndex:
                 cl = np.argmax(mat @ self.c.T, axis=1).astype(np.int32)
                 return t.append_column("_cluster", pa.array(cl))
 
-        return ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+        # (1, n) AUTOSCALING pool, never a fixed reservation: stacked
+        # fixed pools (Assign + knn_brute's Score) can reserve every CPU
+        # on a small allocation and starve the upstream read — a
+        # zero-progress deadlock observed at num_cpus=4
+        return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 2))
 
     def search(self, assigned: ray.data.Dataset, query: np.ndarray, k: int = 10,
                nprobe: int = 4) -> ray.data.Dataset:

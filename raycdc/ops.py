@@ -97,7 +97,7 @@ def broadcast_membership(
             v = t[key].to_numpy(zero_copy_only=False)
             return t.append_column(out_col, pa.array(np.isin(v, self.keys)))
 
-    return ds.map_batches(Member, batch_format="pyarrow", batch_size=batch_size, concurrency=2)
+    return ds.map_batches(Member, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 2))
 
 
 def broadcast_lookup(
@@ -123,7 +123,7 @@ def broadcast_lookup(
                 got = got.fillna(default)
             return t.append_column(out_col, pa.Array.from_pandas(got))
 
-    return ds.map_batches(Lookup, batch_format="pyarrow", batch_size=batch_size, concurrency=2)
+    return ds.map_batches(Lookup, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 2))
 
 
 def top_k(

@@ -475,3 +475,22 @@ def test_top_words_exact_counts():
     out = top_words(rd.from_arrow(docs).repartition(3), k=3, batch_size=2).take_all()
     # counts: the=3, dog=3, cat=2, and=1, zz=1 → top3 by (n desc, word asc)
     assert [(r["word"], r["n"]) for r in out] == [("dog", 3), ("the", 3), ("cat", 2)]
+
+
+def test_ivf_pipeline_from_parquet_makes_progress(tmp_path):
+    """Regression: fixed-size actor pools (Assign 2 + knn Score 4) used to
+    RESERVE every CPU at num_cpus=4 and starve the upstream ReadParquet
+    task pool — a zero-progress deadlock. Autoscaling (1, n) pools must
+    let the composed fit→assign→search pipeline finish from a real
+    parquet read (from_arrow inputs never triggered it — blocks arrive
+    pre-materialized)."""
+    import pyarrow.parquet as pq_
+
+    t = emb_table(n=200)
+    p = str(tmp_path / "emb.parquet")
+    pq_.write_table(t, p)
+    ds = rd.read_parquet(p)
+    q = np.asarray(t["embedding"].to_pylist()[7], dtype=np.float64)
+    idx = IVFIndex(n_clusters=4, n_iter=3).fit(ds)
+    hits = collect(idx.search(idx.assign(ds), q, k=1, nprobe=2)).to_pylist()
+    assert len(hits) == 1
