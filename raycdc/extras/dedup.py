@@ -381,7 +381,7 @@ def minhash_near_dup(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
-    concurrency: int = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 2048,
     max_bucket: int = 512,
     metrics_name: str | None = None,
@@ -440,7 +440,7 @@ class SimHasher:
 
 
 def simhash_signatures(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
-                       concurrency: int = 4, batch_size: int = 2048) -> ray.data.Dataset:
+                       concurrency: int | tuple[int, int] = (1, 4), batch_size: int = 2048) -> ray.data.Dataset:
     return ds.map_batches(
         SimHasher,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},

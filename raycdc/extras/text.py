@@ -149,7 +149,7 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
     return batch.append_column("rolling_fp", pa.array(rolls.view(np.int64), type=pa.int64()))
 
 
-def analyze(ds: ray.data.Dataset, text_col: str = "text", concurrency: int = 4,
+def analyze(ds: ray.data.Dataset, text_col: str = "text", concurrency: int | tuple[int, int] = (1, 4),
             batch_size: int = 4096) -> ray.data.Dataset:
     """Full text-analysis pipeline: langid + quality + token counts +
     fingerprints, as chained actor-pool stages."""

@@ -155,7 +155,7 @@ def substitute_identities(
     identity_map: dict,
     generate_unmatched: bool = True,
     key: str = "doc_id",
-    concurrency: int = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
     """Broadcast the side table once, then run the actor-pool stage."""

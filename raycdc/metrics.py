@@ -97,7 +97,7 @@ class CountingStage:
 
 
 def count_rows(ds, counter: str, metrics_name: str = "raycdc_metrics", batch_size: int = 65536,
-               concurrency: int = 4):
+               concurrency: int | tuple[int, int] = (1, 4)):
     # the stage is stateless per batch (shared state lives in the metrics
     # actor), so it fans out freely — never a single-actor funnel
     return ds.map_batches(

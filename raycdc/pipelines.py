@@ -98,7 +98,7 @@ def curate_text(
     lang: str | None = None,
     min_quality: float | None = None,
     dedup: bool = True,
-    concurrency: int = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 4096,
 ) -> ray.data.Dataset:
     """Composed training-data curation: language-ID → quality scoring →
