@@ -782,6 +782,41 @@ def q_ngram_jaccard(sf_dir: str):
     return exact_jaccard_pairs(_docs(sf_dir), threshold=0.4, n=3)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTER labels: exact n-gram Jaccard pairs →
+    distributed hash-to-min connected components — every doc that
+    appears in a dup pair labeled with its component-minimum doc_id
+    (the canonical representative). Oracle: recursive-CTE transitive
+    closure over the same pair set."""
+    from raycdc.extras.cluster import connected_components
+    from raycdc.extras.dedup import exact_jaccard_pairs
+
+    pairs = exact_jaccard_pairs(_docs(sf_dir), threshold=0.4, n=3)
+    return connected_components(pairs).map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"), "cluster_id": t.column("cluster")}),
+        batch_format="pyarrow",
+    )
+
+
+def q_dedup_cluster_survivors(sf_dir: str):
+    """One document per duplicate cluster (the component minimum) plus
+    every unpaired document — the curation step that consumes the dedup
+    family's pair output. Corpus is touched once by the anti join."""
+    from raycdc.extras.cluster import dedup_survivors
+    from raycdc.extras.dedup import exact_jaccard_pairs
+
+    docs = _docs(sf_dir)
+    pairs = exact_jaccard_pairs(docs, threshold=0.4, n=3)
+    kept = dedup_survivors(
+        docs.map_batches(
+            lambda t: t.select(["doc_id", "lang", "source", "n_chars"]),
+            batch_format="pyarrow",
+        ),
+        pairs,
+    )
+    return kept
+
+
 def q_lang_id(sf_dir: str):
     from raycdc.extras.text import LangId
 
@@ -1132,6 +1167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_signatures": q_simhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_survivors": q_dedup_cluster_survivors,
         "asof_join_orders": q_asof_join_orders,
         "events_hourly_window": q_events_hourly_window,
         "stratified_sample": q_stratified_sample,
@@ -1155,6 +1192,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "pipeline_metrics": q_pipeline_metrics,
     }
+
+
+# Shared CTE block: exact word-3-gram Jaccard dup pairs at >= 0.4 over
+# `documents` — byte-identical gram semantics to the `ngram_jaccard`
+# oracle, reused by the connected-components cluster oracles.
+_NGRAM_PAIR_CTES = """
+            w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                                      '\\s+', ' ', 'g')), ' ') AS words
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+              FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) s
+              WHERE len(words) >= 3
+              UNION
+              SELECT DISTINCT doc_id, array_to_string(words, ' ') AS gram
+              FROM w WHERE len(words) < 3),
+            sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pr AS (
+              SELECT id_a, id_b FROM p
+              JOIN sz sa ON sa.doc_id = p.id_a
+              JOIN sz sb ON sb.doc_id = p.id_b
+              WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.4),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+            reach(node, lbl) AS (
+              SELECT src AS node, src AS lbl FROM e
+              UNION
+              SELECT e.src, r.lbl FROM e JOIN reach r ON r.node = e.dst),
+            members AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1485,6 +1559,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = p.id_a
             JOIN sz sb ON sb.doc_id = p.id_b
             WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.4
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_NGRAM_PAIR_CTES}
+            SELECT node AS doc_id, lbl AS cluster_id FROM members
+        """,
+        "dedup_cluster_survivors": f"""
+            WITH RECURSIVE {_NGRAM_PAIR_CTES}
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM members WHERE node <> lbl)
         """,
         "deterministic_sample": """
             SELECT doc_id, lang, source, n_chars

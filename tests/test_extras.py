@@ -494,3 +494,52 @@ def test_ivf_pipeline_from_parquet_makes_progress(tmp_path):
     idx = IVFIndex(n_clusters=4, n_iter=3).fit(ds)
     hits = collect(idx.search(idx.assign(ds), q, k=1, nprobe=2)).to_pylist()
     assert len(hits) == 1
+
+
+def test_connected_components_chain_and_survivors():
+    """Hash-to-min label propagation: a 5-node chain needs multiple
+    propagation rounds (diameter 4); pair clusters and singletons keep
+    exactly their component-minimum / themselves."""
+    import pyarrow as pa
+
+    from raycdc.extras.cluster import connected_components, dedup_survivors
+
+    pairs = rd.from_arrow(
+        pa.table({"id_a": [1, 2, 3, 4, 10], "id_b": [2, 3, 4, 5, 11]})
+    )
+    got = {r["node"]: r["cluster"] for r in connected_components(pairs).take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 4, 5, 10, 11, 20], "x": list("abcdefgh")})
+    )
+    kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).take_all())
+    assert kept == [1, 10, 20]
+
+
+def test_connected_components_unconverged_raises():
+    """A diameter larger than max_rounds must raise, never silently
+    return partial labels."""
+    import pyarrow as pa
+    import pytest
+
+    from raycdc.extras.cluster import connected_components
+
+    n = 8  # path graph 0-1-...-8: diameter 8
+    pairs = rd.from_arrow(
+        pa.table({"id_a": list(range(n)), "id_b": list(range(1, n + 1))})
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=2)
+    got = {r["node"]: r["cluster"] for r in connected_components(pairs).take_all()}
+    assert set(got.values()) == {0}
+
+
+def test_connected_components_empty_pairs():
+    import pyarrow as pa
+
+    from raycdc.extras.cluster import connected_components
+
+    pairs = rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                    "id_b": pa.array([], pa.int64())}))
+    assert connected_components(pairs).take_all() == []
