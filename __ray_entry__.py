@@ -1099,6 +1099,28 @@ def q_events_type_pivot(sf_dir: str):
     )
 
 
+def q_events_rolling_sum(sf_dir: str):
+    """Per-key sliding-window exposure: each event carries its user's
+    cents-sum over that user's last 4 events in (ts, event_id) order —
+    the ROWS-frame complement of the unbounded running total."""
+    from raycdc.ops import grouped_rolling_sum
+
+    cents = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]).append_column(
+            "cents", pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_rolling_sum(
+        cents, "user_id", order_cols=["ts", "event_id"], val_col="cents",
+        window=4, out_col="rolling_cents",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "rolling_cents"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_docs_outlier_filter(sf_dir: str):
     """Composed curation cut: per-language p99 document length via
     grouped_quantile (exact, tiny result), broadcast back, keep docs at
@@ -1186,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anti_orders": q_events_anti_orders,
         "events_prev_value": q_events_prev_value,
         "events_running_total": q_events_running_total,
+        "events_rolling_sum": q_events_rolling_sum,
         "docs_outlier_filter": q_docs_outlier_filter,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1454,6 +1477,18 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS running_cents
+            FROM c
+        """,
+        "events_rolling_sum": """
+            WITH c AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(sum(cents) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN 3 PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                     AS rolling_cents
             FROM c
         """,
         "events_prev_value": """

@@ -1441,3 +1441,51 @@ def grouped_cumsum(
         .groupby("_bucket")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def grouped_rolling_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    val_col: str,
+    window: int,
+    out_col: str = "rolling",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key ROWS-frame rolling sum (SQL ``sum(val) OVER (PARTITION BY
+    key ORDER BY ... ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``)
+    — the sliding-exposure / recent-activity feature next to
+    :func:`grouped_cumsum`'s unbounded frame. Integer inputs stay exact
+    under any engine (no float reassociation).
+
+    Shape: ONE bounded hash-bucket shuffle on ``key``; in-bucket kernel
+    is a global cumsum differenced at ``max(key_start, i - window + 1)``
+    — two O(n) numpy passes, no per-row Python."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from raycdc.util import bucket_of
+
+    order = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=order)).combine_chunks()
+        n = g.num_rows
+        vals = np.asarray(g.column(val_col).cast(pa.int64()).fill_null(0))
+        new_key = _run_boundaries(g.column(key), n)
+        csum0 = np.concatenate([[0], np.cumsum(vals)])
+        key_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        lo = np.maximum(key_start, np.arange(n) - (window - 1))
+        return g.append_column(
+            out_col, pa.array((csum0[1:] - csum0[lo]).astype(np.int64))
+        )
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -583,3 +583,34 @@ def test_grouped_cumsum_matches_sql_window_sum():
     got = out[["event_id", "running"]].sort_values("event_id").reset_index(drop=True)
     want = want.sort_values("event_id").reset_index(drop=True)
     assert (got["running"].to_numpy() == want["running"].to_numpy()).all()
+
+
+def test_grouped_rolling_sum_matches_sql_rows_frame():
+    t = _events(n=3000, seed=131)
+    from raycdc.ops import grouped_rolling_sum
+
+    out = grouped_rolling_sum(
+        rd.from_arrow(t).repartition(5), "user_id",
+        order_cols=["ts", "event_id"], val_col="cents", window=4,
+        out_col="rolling", num_buckets=8, batch_size=400,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT event_id,
+               CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS rolling
+        FROM events
+        """,
+    ).to_pandas()
+    got = out[["event_id", "rolling"]].sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert (got["rolling"].to_numpy() == want["rolling"].to_numpy()).all()
+
+    # window=1 degenerates to the value itself
+    w1 = grouped_rolling_sum(
+        rd.from_arrow(t), "user_id", order_cols=["ts", "event_id"],
+        val_col="cents", window=1, out_col="rolling", num_buckets=4,
+    ).to_pandas().sort_values("event_id")
+    assert (w1["rolling"].to_numpy() == w1["cents"].to_numpy()).all()
