@@ -1099,6 +1099,28 @@ def q_events_type_pivot(sf_dir: str):
     )
 
 
+def q_orders_rollup(sf_dir: str):
+    """Multi-level aggregate report (SQL GROUP BY ROLLUP): order counts
+    and exact cents totals at (status, priority), (status) and grand-
+    total levels in one pass over the fact table — coarser levels are
+    re-folded from the finest aggregate, never from raw rows."""
+    from raycdc.ops import rollup_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.select(["o_orderstatus", "o_orderpriority"]).append_column(
+            "cents", pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    return rollup_agg(
+        orders, ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("cents", "count"), "sum_cents": ("cents", "sum")},
+    )
+
+
 def q_events_rolling_sum(sf_dir: str):
     """Per-key sliding-window exposure: each event carries its user's
     cents-sum over that user's last 4 events in (ts, event_id) order —
@@ -1209,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prev_value": q_events_prev_value,
         "events_running_total": q_events_running_total,
         "events_rolling_sum": q_events_rolling_sum,
+        "orders_rollup": q_orders_rollup,
         "docs_outlier_filter": q_docs_outlier_filter,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1478,6 +1501,18 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS running_cents
             FROM c
+        """,
+        "orders_rollup": """
+            WITH c AS (SELECT o_orderstatus, o_orderpriority,
+                              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                       FROM orders)
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   CAST(GROUPING(o_orderstatus) + GROUPING(o_orderpriority)
+                        AS INTEGER) AS lvl
+            FROM c
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         "events_rolling_sum": """
             WITH c AS (SELECT event_id, user_id, ts,

@@ -1489,3 +1489,80 @@ def grouped_rolling_sum(
         .groupby("_bucket")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def rollup_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    lvl_col: str = "lvl",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY ROLLUP(k1, .., kn)``: aggregates at every key
+    prefix — (k1..kn), (k1..kn-1), .., () — rolled-up key columns NULL
+    and ``lvl_col`` = how many keys are rolled up (= the GROUPING()
+    bitmask for prefix sets). ``specs`` as in
+    :func:`partial_groupby_agg` (min|max|sum|count).
+
+    Scale shape: the INPUT is aggregated once, at the finest level
+    (combiner groupby — the only pass that sees raw rows); every
+    coarser level re-aggregates the previous level's already-tiny
+    result (count re-folds as sum — all four kernels are associative),
+    so n levels cost one full pass + n-1 key-cardinality-sized folds.
+    Contract for SQL-oracle parity: key columns must be non-null (a
+    NULL key value would be indistinguishable from a rolled-up level —
+    the same ambiguity SQL resolves with GROUPING())."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    sch = ds.schema()  # one-block peek: rolled-up NULL columns keep key types
+    ktypes = dict(zip(sch.names, sch.types))
+    # Materialize the finest fold: it is key-cardinality-sized (small by
+    # contract), and without this each union branch would re-execute the
+    # whole lineage from the raw-row read — n+1 full passes instead of 1.
+    finest = partial_groupby_agg(ds, keys, specs, batch_size=batch_size).materialize()
+    respec = {
+        out: (out, "sum" if kern in ("count", "sum") else kern)
+        for out, (_, kern) in specs.items()
+    }
+
+    def conform(lvl: int):
+        kept = keys[: len(keys) - lvl]
+
+        def fn(t: pa.Table) -> pa.Table:
+            cols, names = [], []
+            for k in keys:
+                names.append(k)
+                cols.append(
+                    t.column(k) if k in kept
+                    else pa.nulls(t.num_rows, type=ktypes[k])
+                )
+            for out in specs:
+                names.append(out)
+                cols.append(t.column(out))
+            names.append(lvl_col)
+            cols.append(pa.array(np.full(t.num_rows, lvl, dtype=np.int32)))
+            return pa.table(dict(zip(names, cols)))
+
+        return fn
+
+    levels = [finest.map_batches(conform(0), batch_format="pyarrow")]
+    prev = finest
+    for lvl in range(1, len(keys) + 1):
+        kept = keys[: len(keys) - lvl]
+        if kept:
+            cur = partial_groupby_agg(prev, kept, respec, batch_size=batch_size)
+        else:
+            # grand total: constant synthetic key, dropped after the fold
+            cur = partial_groupby_agg(
+                prev.map_batches(
+                    lambda t: t.append_column("_all", pa.array(np.zeros(t.num_rows, np.int8))),
+                    batch_format="pyarrow",
+                ),
+                ["_all"], respec, batch_size=batch_size,
+            ).map_batches(lambda t: t.drop_columns(["_all"]), batch_format="pyarrow")
+        levels.append(cur.map_batches(conform(lvl), batch_format="pyarrow"))
+        prev = cur
+    out = levels[0]
+    for l in levels[1:]:
+        out = out.union(l)
+    return out

@@ -614,3 +614,36 @@ def test_grouped_rolling_sum_matches_sql_rows_frame():
         val_col="cents", window=1, out_col="rolling", num_buckets=4,
     ).to_pandas().sort_values("event_id")
     assert (w1["rolling"].to_numpy() == w1["cents"].to_numpy()).all()
+
+
+def test_rollup_agg_matches_sql_rollup():
+    t = _events(n=3000, seed=211)
+    from raycdc.ops import rollup_agg
+
+    out = rollup_agg(
+        rd.from_arrow(t).repartition(5),
+        ["etype", "user_id"],
+        {"n": ("cents", "count"), "s": ("cents", "sum"), "mx": ("cents", "max")},
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT etype, user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(max(cents) AS BIGINT) AS mx,
+               CAST(GROUPING(etype) + GROUPING(user_id) AS INTEGER) AS lvl
+        FROM events
+        GROUP BY ROLLUP(etype, user_id)
+        """,
+    ).to_pandas()
+    cols = ["etype", "user_id", "n", "s", "mx", "lvl"]
+    key = ["lvl", "etype", "user_id"]
+    got = out[cols].sort_values(key).reset_index(drop=True)
+    want = want[cols].sort_values(key).reset_index(drop=True)
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    # single-key rollup: finest + grand total only
+    one = rollup_agg(rd.from_arrow(t), ["etype"], {"n": ("cents", "count")}).to_pandas()
+    assert len(one) == len(pc.unique(t.column("etype"))) + 1
+    assert one.loc[one["lvl"] == 1, "n"].iloc[0] == len(t)
