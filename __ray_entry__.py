@@ -1121,6 +1121,49 @@ def q_orders_rollup(sf_dir: str):
     )
 
 
+def q_lineitem_cube(sf_dir: str):
+    """SQL GROUP BY CUBE over the fact table: quantity count + exact
+    cents totals at all four (returnflag × linestatus) grouping subsets
+    from ONE raw-row pass — coarser subsets re-fold the materialized
+    finest aggregate (a handful of rows), never the input."""
+    from raycdc.ops import cube_agg
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    ).map_batches(
+        lambda t: t.select(["l_returnflag", "l_linestatus"]).append_column(
+            "cents", pc.round(pc.multiply(t["l_extendedprice"], 100.0)).cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    return cube_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        {"n_items": ("cents", "count"), "sum_cents": ("cents", "sum")},
+    )
+
+
+def q_events_orders_full(sf_dir: str):
+    """Large×large FULL OUTER join: per-user event counts against
+    per-custkey order counts — unmatched rows survive on BOTH sides
+    (users who never ordered, custkeys who never evented). Both sides
+    pre-aggregate with the combiner groupby before the single join
+    shuffle, so only (key, count) rows ever move."""
+    from raycdc.ops import hash_join, partial_groupby_agg
+
+    ev = partial_groupby_agg(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"]),
+        ["user_id"], {"n_events": ("user_id", "count")},
+    )
+    orders = partial_groupby_agg(
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+        ).map_batches(lambda t: t.rename_columns(["user_id"]), batch_format="pyarrow"),
+        ["user_id"], {"n_orders": ("user_id", "count")},
+    )
+    return hash_join(ev, orders, "user_id", how="full")
+
+
 def q_events_rolling_sum(sf_dir: str):
     """Per-key sliding-window exposure: each event carries its user's
     cents-sum over that user's last 4 events in (ts, event_id) order —
@@ -1232,6 +1275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": q_events_running_total,
         "events_rolling_sum": q_events_rolling_sum,
         "orders_rollup": q_orders_rollup,
+        "events_orders_full": q_events_orders_full,
+        "lineitem_cube": q_lineitem_cube,
         "docs_outlier_filter": q_docs_outlier_filter,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1513,6 +1558,26 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS lvl
             FROM c
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "lineitem_cube": """
+            WITH c AS (SELECT l_returnflag, l_linestatus,
+                              CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                       FROM lineitem)
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS lvl
+            FROM c GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "events_orders_full": """
+            WITH e AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY user_id),
+                 o AS (SELECT o_custkey AS user_id,
+                              CAST(count(*) AS BIGINT) AS n_orders
+                       FROM orders GROUP BY o_custkey)
+            SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+                   e.n_events, o.n_orders
+            FROM e FULL OUTER JOIN o ON o.user_id = e.user_id
         """,
         "events_rolling_sum": """
             WITH c AS (SELECT event_id, user_id, ts,

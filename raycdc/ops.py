@@ -269,19 +269,24 @@ def hash_join(
     3. each bucket splits by side and joins with a vectorized pandas
        merge.
 
-    ``how`` ∈ {"inner", "left", "semi", "anti"}. ``key`` may be a LIST
-    of column names (same names on both sides) for a composite join key
-    — buckets are the combined key hash, and a NULL in ANY component
-    means no match. ``semi`` / ``anti`` are SQL EXISTS / NOT EXISTS:
-    left rows kept once iff a match exists / doesn't; the right side's
-    payload columns never ship (only its key columns are conformed) and
-    a null-keyed left row is anti-kept (it matches nothing). Column-name
-    collisions (other than the keys) take a ``_r`` suffix from the right
-    side. Partitioning assumption: any single bucket's rows fit a worker
+    ``how`` ∈ {"inner", "left", "right", "full", "semi", "anti"}.
+    ``key`` may be a LIST of column names (same names on both sides) for
+    a composite join key — buckets are the combined key hash, and a NULL
+    in ANY component means no match (null-keyed rows still pass through
+    unmatched on their preserved side(s), exactly SQL OUTER JOIN
+    semantics; on "full" the key columns are coalesced across sides).
+    ``semi`` / ``anti`` are SQL EXISTS / NOT EXISTS: left rows kept once
+    iff a match exists / doesn't; the right side's payload columns never
+    ship (only its key columns are conformed) and a null-keyed left row
+    is anti-kept (it matches nothing). Column-name collisions (other
+    than the keys) take a ``_r`` suffix from the right side.
+    Partitioning assumption: any single bucket's rows fit a worker
     (raise ``num_buckets`` for bigger data; salt upstream for a
     pathological hot key)."""
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError("how must be one of 'inner', 'left', 'semi', 'anti'")
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
+        raise ValueError(
+            "how must be one of 'inner', 'left', 'right', 'full', 'semi', 'anti'"
+        )
     from raycdc.util import splitmix64, str_hash_u64
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -347,21 +352,31 @@ def hash_join(
         side = np.asarray(g["_side"])
         lt = g.filter(pa.array(side == 0)).select([*keys, *left_only]).combine_chunks()
         rt = g.filter(pa.array(side == 1)).select([*keys, *rcols_out]).combine_chunks()
+
+        def _valid(t: pa.Table):
+            v = None
+            for b in keys:
+                kv = pc.is_valid(t.column(b))
+                v = kv if v is None else pc.and_(v, kv)
+            return v
+
         # SQL `JOIN ON =` semantics: NULL keys never match (pandas merge
-        # would pair NaN with NaN). Dropping right-side null keys suffices:
-        # inner then drops unmatched left nulls; 'left' passes them through
-        # with a null right side — exactly the oracle's behavior.
+        # would pair NaN with NaN). Null-keyed rows are split off BEFORE
+        # the merge and re-appended unmatched on whichever side(s) the
+        # join preserves ('left'/'full' keep left nulls, 'right'/'full'
+        # keep right nulls) — exactly the oracle's OUTER JOIN behavior.
+        lt_null = rt_null = None
         if any(rt.column(b).null_count for b in keys):
-            rvalid = None
-            for b in keys:
-                rv = pc.is_valid(rt.column(b))
-                rvalid = rv if rvalid is None else pc.and_(rvalid, rv)
+            rvalid = _valid(rt)
+            if how in ("right", "full"):
+                rt_null = rt.filter(pc.invert(rvalid))
             rt = rt.filter(rvalid)
-        if how == "inner" and any(lt.column(b).null_count for b in keys):
-            lvalid = None
-            for b in keys:
-                lv = pc.is_valid(lt.column(b))
-                lvalid = lv if lvalid is None else pc.and_(lvalid, lv)
+        if how in ("inner", "right", "full") and any(
+            lt.column(b).null_count for b in keys
+        ):
+            lvalid = _valid(lt)
+            if how == "full":
+                lt_null = lt.filter(pc.invert(lvalid))
             lt = lt.filter(lvalid)
         # pandas merges only the (keys, position) mapping — payload columns
         # are gathered by Arrow take (null indices emit nulls on 'left')
@@ -386,15 +401,42 @@ def hash_join(
             return pa.Table.from_arrays(
                 [out.column(f.name) for f in want], schema=want
             )
-        m = pd.merge(pd.DataFrame(lframe), pd.DataFrame(rframe), on=ks, how=how)
-        li = pa.array(m["li"].to_numpy(np.int64))
+        pd_how = {"full": "outer"}.get(how, how)
+        m = pd.merge(pd.DataFrame(lframe), pd.DataFrame(rframe), on=ks, how=pd_how)
+        # right/full emit right-only rows with no left position: both index
+        # columns go nullable, Arrow take propagates null indices as nulls
+        li = pa.Array.from_pandas(m["li"].astype("Int64"))
         ri = pa.Array.from_pandas(m["ri"].astype("Int64"))
         # build by NAME, not position: `want` keeps the left's column order,
         # which differs from (*keys, *left_only) whenever a join key is not
         # the left's first column
         named = {c: lt.column(c).take(li) for c in (*keys, *left_only)}
         named.update({c: rt.column(c).take(ri) for c in rcols_out})
-        return pa.Table.from_arrays([named[f.name] for f in want], schema=want)
+        if how in ("right", "full"):
+            # key columns must survive right-only rows: coalesce across sides
+            for b in keys:
+                named[b] = pc.coalesce(
+                    named[b].combine_chunks() if isinstance(named[b], pa.ChunkedArray) else named[b],
+                    rt.column(b).take(ri).combine_chunks(),
+                )
+        out = pa.Table.from_arrays(
+            [pa.chunked_array([named[f.name]]) if not isinstance(named[f.name], pa.ChunkedArray) else named[f.name] for f in want],
+            schema=want,
+        )
+        extras = [t for t in (lt_null, rt_null) if t is not None and t.num_rows]
+        if extras:
+            backfilled = []
+            for t in extras:
+                cols = {
+                    f.name: (t.column(f.name) if f.name in t.column_names
+                             else pa.nulls(t.num_rows, type=f.type))
+                    for f in want
+                }
+                backfilled.append(
+                    pa.Table.from_arrays([cols[f.name] for f in want], schema=want)
+                )
+            out = pa.concat_tables([out, *backfilled])
+        return out
 
     return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
@@ -1566,3 +1608,96 @@ def rollup_agg(
     for l in levels[1:]:
         out = out.union(l)
     return out
+
+
+def grouping_sets_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sets: list[list[str]],
+    specs: dict[str, tuple[str, str]],
+    lvl_col: str = "lvl",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY GROUPING SETS(...)``: one result row-set per key
+    subset in ``sets``, rolled-up key columns NULL, ``lvl_col`` = the
+    SQL ``GROUPING(k1, .., kn)`` bitmask (keys[0] is the most
+    significant bit; bit set ⇔ that key is rolled up in the set).
+
+    Scale shape (same as :func:`rollup_agg`): raw rows are folded ONCE
+    at the finest level (all ``keys``); that key-cardinality-sized
+    result is materialized and every requested set re-folds from it
+    (count re-folds as sum — min|max|sum|count are all associative).
+    Key columns must be non-null (SQL's GROUPING() ambiguity)."""
+    if not keys or not sets:
+        raise ValueError("keys and sets must be non-empty")
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} not a subset of keys {keys}")
+    sch = ds.schema()
+    ktypes = dict(zip(sch.names, sch.types))
+    finest = partial_groupby_agg(ds, keys, specs, batch_size=batch_size).materialize()
+    respec = {
+        out: (out, "sum" if kern in ("count", "sum") else kern)
+        for out, (_, kern) in specs.items()
+    }
+    n = len(keys)
+
+    def conform(kept: list[str], lvl: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cols, names = [], []
+            for k in keys:
+                names.append(k)
+                cols.append(
+                    t.column(k) if k in kept else pa.nulls(t.num_rows, type=ktypes[k])
+                )
+            for out in specs:
+                names.append(out)
+                cols.append(t.column(out))
+            names.append(lvl_col)
+            cols.append(pa.array(np.full(t.num_rows, lvl, dtype=np.int32)))
+            return pa.table(dict(zip(names, cols)))
+
+        return fn
+
+    parts = []
+    for s in sets:
+        kept = [k for k in keys if k in s]  # canonical key order
+        lvl = sum(1 << (n - 1 - i) for i, k in enumerate(keys) if k not in kept)
+        if len(kept) == n:
+            cur = finest
+        elif kept:
+            cur = partial_groupby_agg(finest, kept, respec, batch_size=batch_size)
+        else:
+            cur = partial_groupby_agg(
+                finest.map_batches(
+                    lambda t: t.append_column(
+                        "_all", pa.array(np.zeros(t.num_rows, np.int8))
+                    ),
+                    batch_format="pyarrow",
+                ),
+                ["_all"], respec, batch_size=batch_size,
+            ).map_batches(lambda t: t.drop_columns(["_all"]), batch_format="pyarrow")
+        parts.append(cur.map_batches(conform(kept, lvl), batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def cube_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    lvl_col: str = "lvl",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY CUBE(k1, .., kn)``: every one of the 2**n key
+    subsets, via :func:`grouping_sets_agg` (one raw-row pass total)."""
+    n = len(keys)
+    sets = [
+        [k for i, k in enumerate(keys) if mask & (1 << (n - 1 - i)) == 0]
+        for mask in range(1 << n)
+    ]
+    return grouping_sets_agg(
+        ds, keys, sets, specs, lvl_col=lvl_col, batch_size=batch_size
+    )

@@ -647,3 +647,92 @@ def test_rollup_agg_matches_sql_rollup():
     one = rollup_agg(rd.from_arrow(t), ["etype"], {"n": ("cents", "count")}).to_pandas()
     assert len(one) == len(pc.unique(t.column("etype"))) + 1
     assert one.loc[one["lvl"] == 1, "n"].iloc[0] == len(t)
+
+
+def test_hash_join_right_full_outer():
+    from raycdc.ops import hash_join
+
+    lt = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 4, None], type=pa.int64()),
+            "lv": pa.array([10, 20, 30, 40, 50], type=pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "a": pa.array([1, 3, 3, None], type=pa.int64()),
+            "rv": pa.array([100, 200, 300, 400], type=pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    for how, sqlhow in (("right", "RIGHT JOIN"), ("full", "FULL OUTER JOIN")):
+        out = hash_join(
+            rd.from_arrow(lt).repartition(2), rd.from_arrow(rt), "a",
+            how=how, num_buckets=4,
+        ).to_pandas()
+        # hash_join coalesces the key across sides; mirror that in SQL
+        want = con.execute(
+            f"SELECT COALESCE(l.a, r.a) AS a, l.lv, r.rv FROM l {sqlhow} r ON r.a = l.a"
+        ).df()
+        key = ["a", "lv", "rv"]
+        got = out.sort_values(key, na_position="last").reset_index(drop=True)
+        want = want.sort_values(key, na_position="last").reset_index(drop=True)
+        assert got.shape == want.shape, (how, got, want)
+        for c in want.columns:
+            nn = got[c].isna().to_numpy() & want[c].isna().to_numpy()
+            assert ((got[c].to_numpy() == want[c].to_numpy()) | nn).all(), (how, c)
+
+
+def test_cube_agg_matches_sql_cube():
+    t = _events(n=2500, seed=307)
+    from raycdc.ops import cube_agg
+
+    out = cube_agg(
+        rd.from_arrow(t).repartition(4),
+        ["etype", "user_id"],
+        {"n": ("cents", "count"), "s": ("cents", "sum")},
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT etype, user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(GROUPING(etype, user_id) AS INTEGER) AS lvl
+        FROM events GROUP BY CUBE(etype, user_id)
+        """,
+    ).to_pandas()
+    cols = ["etype", "user_id", "n", "s", "lvl"]
+    key = ["lvl", "etype", "user_id"]
+    got = out[cols].sort_values(key).reset_index(drop=True)
+    want = want[cols].sort_values(key).reset_index(drop=True)
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_grouping_sets_agg_matches_sql():
+    t = _events(n=2000, seed=401)
+    from raycdc.ops import grouping_sets_agg
+
+    out = grouping_sets_agg(
+        rd.from_arrow(t).repartition(3),
+        ["etype", "user_id"],
+        [["etype"], ["user_id"], []],
+        {"mx": ("cents", "max"), "n": ("cents", "count")},
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT etype, user_id,
+               CAST(max(cents) AS BIGINT) AS mx,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(GROUPING(etype, user_id) AS INTEGER) AS lvl
+        FROM events GROUP BY GROUPING SETS ((etype), (user_id), ())
+        """,
+    ).to_pandas()
+    cols = ["etype", "user_id", "mx", "n", "lvl"]
+    key = ["lvl", "etype", "user_id"]
+    got = out[cols].sort_values(key).reset_index(drop=True)
+    want = want[cols].sort_values(key).reset_index(drop=True)
+    assert got.equals(want.astype(got.dtypes.to_dict()))
