@@ -1143,6 +1143,54 @@ def q_lineitem_cube(sf_dir: str):
     )
 
 
+def q_orders_rank_per_customer(sf_dir: str):
+    """Per-customer ROW_NUMBER / RANK / DENSE_RANK in one shuffle:
+    orders ranked by date within customer, ties on the (coarse) date
+    shared by RANK/DENSE_RANK, orderkey breaking them for ROW_NUMBER —
+    SQL's two-ORDER-BY-lists window idiom."""
+    from raycdc.ops import grouped_rank
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    return grouped_rank(
+        orders, "o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"], tie_cols=["o_orderdate"],
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "rn", "rnk", "drnk"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """Wide→long reshape (SQL UNPIVOT): each lineitem's three rate
+    columns become three (name, exact-cents value) rows. Map-only —
+    no shuffle; the per-batch reshape is one Arrow concat of column
+    slices."""
+    from raycdc.ops import unpivot
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "qty_c": pc.round(pc.multiply(t["l_quantity"], 100.0)).cast(pa.int64()),
+                "disc_c": pc.round(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64()),
+                "tax_c": pc.round(pc.multiply(t["l_tax"], 100.0)).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return unpivot(
+        li, id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["qty_c", "disc_c", "tax_c"],
+    )
+
+
 def q_events_orders_full(sf_dir: str):
     """Large×large FULL OUTER join: per-user event counts against
     per-custkey order counts — unmatched rows survive on BOTH sides
@@ -1277,6 +1325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": q_orders_rollup,
         "events_orders_full": q_events_orders_full,
         "lineitem_cube": q_lineitem_cube,
+        "orders_rank_per_customer": q_orders_rank_per_customer,
+        "lineitem_unpivot": q_lineitem_unpivot,
         "docs_outlier_filter": q_docs_outlier_filter,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1558,6 +1608,26 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS lvl
             FROM c
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "orders_rank_per_customer": """
+            SELECT o_orderkey, o_custkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn,
+                   rank()       OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate) AS rnk,
+                   dense_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate) AS drnk
+            FROM orders
+        """,
+        "lineitem_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'qty_c' AS name,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'disc_c',
+                   CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'tax_c',
+                   CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
         """,
         "lineitem_cube": """
             WITH c AS (SELECT l_returnflag, l_linestatus,

@@ -1701,3 +1701,101 @@ def cube_agg(
     return grouping_sets_agg(
         ds, keys, sets, specs, lvl_col=lvl_col, batch_size=batch_size
     )
+
+
+def grouped_rank(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    tie_cols: list[str] | None = None,
+    rn_col: str | None = "rn",
+    rank_col: str | None = "rnk",
+    dense_col: str | None = "drnk",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key ROW_NUMBER / RANK / DENSE_RANK in ONE pass (SQL
+    ``.. OVER (PARTITION BY key ORDER BY ...)``). Rows sort by the full
+    ``order_cols`` (pass a total order so row_number is deterministic);
+    RANK/DENSE_RANK ties are decided by ``tie_cols`` (default: all of
+    ``order_cols`` — give a PREFIX when the tail is only a row_number
+    tiebreaker, exactly SQL's two different ORDER BY lists). Any of the
+    three output columns can be disabled with None.
+
+    Shape: ONE bounded hash-bucket shuffle on ``key``; in-bucket kernel
+    is a vectorized sort + run-boundary masks + cumulative maxima — no
+    per-row Python. NULL keys form one group; consecutive NULL tie
+    values tie (SQL PARTITION BY / ORDER BY null conventions)."""
+    from raycdc.util import bucket_of
+
+    tie_cols = list(order_cols) if tie_cols is None else list(tie_cols)
+    if not set(tie_cols) <= set(order_cols):
+        raise ValueError("tie_cols must be a subset of order_cols")
+    order = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=order)).combine_chunks()
+        n = g.num_rows
+        new_key = _run_boundaries(g.column(key), n)
+        pos = np.arange(n)
+        key_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+        if rn_col is not None:
+            g = g.append_column(rn_col, pa.array(pos - key_start + 1, pa.int64()))
+        if rank_col is not None or dense_col is not None:
+            tie_change = new_key.copy()
+            for c in tie_cols:
+                tie_change |= _run_boundaries(g.column(c), n)
+            if rank_col is not None:
+                tie_start = np.maximum.accumulate(np.where(tie_change, pos, 0))
+                g = g.append_column(
+                    rank_col, pa.array(tie_start - key_start + 1, pa.int64())
+                )
+            if dense_col is not None:
+                dr = np.cumsum(tie_change)
+                g = g.append_column(
+                    dense_col, pa.array(dr - dr[key_start] + 1, pa.int64())
+                )
+        return g
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "name",
+    val_col: str = "value",
+    val_type: pa.DataType | None = None,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """SQL UNPIVOT / pandas melt: each input row becomes
+    ``len(value_cols)`` output rows of (``*id_cols``, column name,
+    column value). Map-only (no shuffle, fully streaming); per batch the
+    wide→long reshape is one Arrow concat of ``len(value_cols)`` column
+    slices — no per-row Python. ``val_type`` fixes the common value
+    type (default: the first value column's type; all value columns
+    must cast to it)."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    want_t = val_type
+
+    def fn(t: pa.Table) -> pa.Table:
+        vt = want_t or t.schema.field(value_cols[0]).type
+        parts = []
+        for c in value_cols:
+            cols = {k: t.column(k) for k in id_cols}
+            cols[var_col] = pa.array(np.full(t.num_rows, c, dtype=object), pa.string())
+            cols[val_col] = t.column(c).cast(vt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

@@ -736,3 +736,54 @@ def test_grouping_sets_agg_matches_sql():
     got = out[cols].sort_values(key).reset_index(drop=True)
     want = want[cols].sort_values(key).reset_index(drop=True)
     assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_grouped_rank_matches_sql_rank_family():
+    t = _events(n=3000, seed=503, with_nulls=True)
+    # coarse tie column so RANK/DENSE_RANK ties actually occur
+    t = t.append_column("coarse", pc.multiply(pc.divide(t["cents"], 1000), 1000))
+    from raycdc.ops import grouped_rank
+
+    out = grouped_rank(
+        rd.from_arrow(t).repartition(5), "user_id",
+        order_cols=["coarse", "event_id"], tie_cols=["coarse"],
+        num_buckets=8, batch_size=400,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY coarse, event_id) AS rn,
+               rank()       OVER (PARTITION BY user_id ORDER BY coarse) AS rnk,
+               dense_rank() OVER (PARTITION BY user_id ORDER BY coarse) AS drnk
+        FROM events
+        """,
+    ).to_pandas()
+    got = out[["event_id", "rn", "rnk", "drnk"]].sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    for c in ("rn", "rnk", "drnk"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_unpivot_matches_sql_union_all():
+    t = _events(n=800, seed=601)
+    from raycdc.ops import unpivot
+
+    out = unpivot(
+        rd.from_arrow(t).repartition(3),
+        id_cols=["event_id"], value_cols=["user_id", "cents"],
+        val_type=pa.int64(),
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT event_id, 'user_id' AS name, user_id AS value FROM events
+        UNION ALL
+        SELECT event_id, 'cents' AS name, cents AS value FROM events
+        """,
+    ).to_pandas()
+    key = ["event_id", "name"]
+    got = out.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.shape == want.shape
+    assert (got["value"].to_numpy() == want["value"].to_numpy()).all()
