@@ -15,6 +15,7 @@ instead (exact-fold, error-bound, IVF-vs-brute, PPM round-trip).
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import os
 import re
@@ -1191,6 +1192,127 @@ def q_lineitem_unpivot(sf_dir: str):
     )
 
 
+def q_lineitem_stats(sf_dir: str):
+    """Grouped moment statistics (mean / var_pop / std_samp / corr) via
+    the combiner-groupby: partial (n, Σx, Σx², Σxy, ..) per batch, one
+    tiny shuffle, fixed-order float64 finalize. The oracle mirrors the
+    finalize expression tree exactly, and the inputs are exact integer
+    cents whose partial sums stay below 2**53 — so the doubles are
+    BIT-IDENTICAL to SQL, not merely close."""
+    from raycdc.ops import moment_agg
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "x": pc.round(pc.multiply(t["l_quantity"], 100.0)).cast(pa.int64()),
+                "y": pc.round(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return moment_agg(
+        li, "l_returnflag",
+        {
+            "mean_qty": ("x", "mean"),
+            "var_qty": ("x", "var_pop"),
+            "std_qty": ("x", "std_samp"),
+            "corr_qd": ("x", "y", "corr"),
+        },
+    )
+
+
+def q3_unshipped_orders(sf_dir: str):
+    """TPC-H Q3 shape on this schema: segment-filtered customers ⨝
+    date-filtered orders ⨝ late-shipped lineitems, revenue per order in
+    exact 1e-4 currency units, global top 10. Reads prune columns +
+    rows at the scan; the two joins are one bounded shuffle each (the
+    customer side ships only its key); the top-k is the combiner prune
+    — never a global sort of the join output."""
+    from raycdc.ops import hash_join, partial_groupby_agg, top_k
+
+    cutoff = pa.scalar(datetime.datetime(1995, 3, 15), type=pa.timestamp("us"))
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ).rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+    building_orders = hash_join(orders, cust, "o_custkey", how="semi").map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate"]).rename_columns(
+            ["l_orderkey", "o_orderdate"]
+        ),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "l_orderkey": f["l_orderkey"],
+                    "rev": pc.multiply(
+                        pc.round(pc.multiply(f["l_extendedprice"], 100.0)).cast(pa.int64()),
+                        pc.subtract(
+                            pa.scalar(100, pa.int64()),
+                            pc.round(pc.multiply(f["l_discount"], 100.0)).cast(pa.int64()),
+                        ),
+                    ),
+                }
+            )
+        )(t.filter(pc.greater(t["l_shipdate"], cutoff))),
+        batch_format="pyarrow",
+    )
+    rev = partial_groupby_agg(li, "l_orderkey", {"revenue": ("rev", "sum")})
+    joined = hash_join(rev, building_orders, "l_orderkey", how="inner")
+    return top_k(joined, "revenue", 10, descending=True, tiebreak="l_orderkey")
+
+
+def q6_revenue_delta(sf_dir: str):
+    """TPC-H Q6: pure scan-filter-aggregate — predicate pushdown at the
+    parquet read, exact integer revenue units, one combiner fold to a
+    single row. The canonical 'prune at the read' demonstration."""
+    lo = pa.scalar(datetime.datetime(1994, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1995, 1, 1), type=pa.timestamp("us"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        disc = pc.round(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc, 5), pc.less_equal(disc, 7)),
+                pc.less(t["l_quantity"], 24.0),
+            ),
+        )
+        f = t.filter(keep)
+        rev = pc.multiply(
+            pc.round(pc.multiply(f["l_extendedprice"], 100.0)).cast(pa.int64()),
+            pc.round(pc.multiply(f["l_discount"], 100.0)).cast(pa.int64()),
+        )
+        return pa.table({"rev": rev})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(fold, batch_format="pyarrow")
+    total = li.sum("rev")  # distributed fold; result is one scalar
+    return pa.table({"revenue": pa.array([int(total or 0)], pa.int64())})
+
+
 def q_events_orders_full(sf_dir: str):
     """Large×large FULL OUTER join: per-user event counts against
     per-custkey order counts — unmatched rows survive on BOTH sides
@@ -1327,6 +1449,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube": q_lineitem_cube,
         "orders_rank_per_customer": q_orders_rank_per_customer,
         "lineitem_unpivot": q_lineitem_unpivot,
+        "lineitem_stats": q_lineitem_stats,
+        "q3_unshipped_orders": q3_unshipped_orders,
+        "q6_revenue_delta": q6_revenue_delta,
         "docs_outlier_filter": q_docs_outlier_filter,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1608,6 +1733,60 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS lvl
             FROM c
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "q3_unshipped_orders": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+                FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-03-15'),
+            rev AS (SELECT l_orderkey, CAST(sum(rev) AS BIGINT) AS revenue
+                    FROM li GROUP BY l_orderkey),
+            bo AS (SELECT o_orderkey AS l_orderkey, o_orderdate
+                   FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1995-03-15'
+                     AND EXISTS (SELECT 1 FROM customer
+                                 WHERE c_custkey = o_custkey
+                                   AND c_mktsegment = 'BUILDING'))
+            SELECT rev.l_orderkey, rev.revenue, bo.o_orderdate
+            FROM rev JOIN bo ON bo.l_orderkey = rev.l_orderkey
+            ORDER BY rev.revenue DESC, rev.l_orderkey
+            LIMIT 10
+        """,
+        "q6_revenue_delta": """
+            SELECT CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+                   AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "lineitem_stats": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                              CAST(round(l_discount * 100) AS BIGINT) AS y
+                       FROM lineitem),
+                 s AS (SELECT l_returnflag,
+                              CAST(count(x) AS DOUBLE) AS n,
+                              CAST(sum(x) AS DOUBLE) AS sx,
+                              CAST(sum(x * x) AS DOUBLE) AS sxx,
+                              CAST(sum(y) AS DOUBLE) AS sy,
+                              CAST(sum(y * y) AS DOUBLE) AS syy,
+                              CAST(sum(x * y) AS DOUBLE) AS sxy
+                       FROM c GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   sx / n AS mean_qty,
+                   (sxx - sx * (sx / n)) / n AS var_qty,
+                   sqrt((sxx - sx * (sx / n)) / (n - 1)) AS std_qty,
+                   CASE WHEN (sxx - sx * (sx / n)) * (syy - sy * (sy / n)) <= 0
+                        THEN NULL
+                        ELSE (sxy - sx * (sy / n))
+                             / sqrt((sxx - sx * (sx / n)) * (syy - sy * (sy / n)))
+                   END AS corr_qd
+            FROM s
         """,
         "orders_rank_per_customer": """
             SELECT o_orderkey, o_custkey,

@@ -1799,3 +1799,121 @@ def unpivot(
         return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def moment_agg(
+    ds: ray.data.Dataset,
+    key: str | list[str],
+    specs: dict[str, tuple],
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Grouped moment statistics via the combiner-groupby shape (partial
+    sums per batch, one tiny shuffle of (key, n, Σx, Σx², ..) rows,
+    vectorized finalize). ``specs``: out ->
+
+    * ``(col, kernel)`` with kernel in ``mean | var_pop | var_samp |
+      std_pop | std_samp`` (SQL null convention: null values excluded);
+    * ``(xcol, ycol, kernel)`` with kernel in ``covar_pop | covar_samp
+      | corr`` (rows where EITHER side is null excluded).
+
+    Finalize order is FIXED so a SQL oracle reproduces bit-identical
+    float64 (feed integer-valued columns whose partial sums stay below
+    2**53 and float addition is order-independent — exact):
+
+        mean      = s / n
+        var_pop   = (q - s * (s / n)) / n          (NULL when n = 0)
+        var_samp  = (q - s * (s / n)) / (n - 1)    (NULL when n < 2)
+        std_*     = sqrt(var_*)
+        cov       = sxy - sx * (sy / n)
+        covar_pop = cov / n ; covar_samp = cov / (n - 1)
+        corr      = cov / sqrt((sxx - sx*(sx/n)) * (syy - sy*(sy/n)))
+                    (NULL when either variance term is 0)
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    singles = {"mean", "var_pop", "var_samp", "std_pop", "std_samp"}
+    pairs = {"covar_pop", "covar_samp", "corr"}
+    for out, spec in specs.items():
+        kern = spec[-1]
+        if kern in singles and len(spec) != 2:
+            raise ValueError(f"{out}: {kern} takes (col, kernel)")
+        if kern in pairs and len(spec) != 3:
+            raise ValueError(f"{out}: {kern} takes (xcol, ycol, kernel)")
+        if kern not in singles | pairs:
+            raise ValueError(f"unsupported kernel {kern!r}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in keys}
+        aggs = []
+        for out, spec in specs.items():
+            if spec[-1] in singles:
+                v = t.column(spec[0]).cast(pa.float64())
+                cols[f"{out}__s"] = v
+                cols[f"{out}__q"] = pc.multiply(v, v)
+                aggs += [(f"{out}__s", "count"), (f"{out}__s", "sum"),
+                         (f"{out}__q", "sum")]
+            else:
+                x = t.column(spec[0]).cast(pa.float64())
+                y = t.column(spec[1]).cast(pa.float64())
+                both = pc.and_(pc.is_valid(x), pc.is_valid(y))
+                x = pc.if_else(both, x, pa.nulls(t.num_rows, pa.float64()))
+                y = pc.if_else(both, y, pa.nulls(t.num_rows, pa.float64()))
+                cols[f"{out}__sx"] = x
+                cols[f"{out}__sy"] = y
+                cols[f"{out}__sxy"] = pc.multiply(x, y)
+                cols[f"{out}__sxx"] = pc.multiply(x, x)
+                cols[f"{out}__syy"] = pc.multiply(y, y)
+                aggs += [(f"{out}__sx", "count"), (f"{out}__sx", "sum"),
+                         (f"{out}__sy", "sum"), (f"{out}__sxy", "sum"),
+                         (f"{out}__sxx", "sum"), (f"{out}__syy", "sum")]
+        g = pa.table(cols).group_by(keys).aggregate(aggs)
+        ren = {f"{c}_{k}": (f"{c.rsplit('__', 1)[0]}__n" if k == "count" else c)
+               for c, k in aggs}
+        return g.rename_columns([ren.get(n, n) for n in g.column_names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    part_cols = []
+    for out, spec in specs.items():
+        part_cols += (
+            [f"{out}__n", f"{out}__s", f"{out}__q"]
+            if spec[-1] in singles
+            else [f"{out}__n", f"{out}__sx", f"{out}__sy", f"{out}__sxy",
+                  f"{out}__sxx", f"{out}__syy"]
+        )
+    folded = partials.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c) for c in part_cols]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out_cols = {k: t.column(k) for k in keys}
+        for out, spec in specs.items():
+            kern = spec[-1]
+            n = np.asarray(t.column(f"{out}__n"), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                if kern in singles:
+                    s = np.asarray(t.column(f"{out}__s"), dtype=np.float64)
+                    q = np.asarray(t.column(f"{out}__q"), dtype=np.float64)
+                    if kern == "mean":
+                        v, bad = s / n, n == 0
+                    else:
+                        m2 = q - s * (s / n)
+                        den = n if kern.endswith("pop") else n - 1
+                        v, bad = m2 / den, (n == 0) | (den == 0)
+                        if kern.startswith("std"):
+                            v = np.sqrt(v)
+                else:
+                    sx = np.asarray(t.column(f"{out}__sx"), dtype=np.float64)
+                    sy = np.asarray(t.column(f"{out}__sy"), dtype=np.float64)
+                    sxy = np.asarray(t.column(f"{out}__sxy"), dtype=np.float64)
+                    cov = sxy - sx * (sy / n)
+                    if kern == "corr":
+                        sxx = np.asarray(t.column(f"{out}__sxx"), dtype=np.float64)
+                        syy = np.asarray(t.column(f"{out}__syy"), dtype=np.float64)
+                        d2 = (sxx - sx * (sx / n)) * (syy - sy * (sy / n))
+                        v, bad = cov / np.sqrt(d2), (n == 0) | (d2 <= 0)
+                    else:
+                        den = n if kern.endswith("pop") else n - 1
+                        v, bad = cov / den, (n == 0) | (den == 0)
+            out_cols[out] = pa.array(v, pa.float64(), mask=bad)
+        return pa.table(out_cols)
+
+    return folded.map_batches(finalize, batch_format="pyarrow")

@@ -787,3 +787,50 @@ def test_unpivot_matches_sql_union_all():
     want = want.sort_values(key).reset_index(drop=True)
     assert got.shape == want.shape
     assert (got["value"].to_numpy() == want["value"].to_numpy()).all()
+
+
+def test_moment_agg_matches_duckdb_stats():
+    t = _events(n=4000, seed=701, with_nulls=True)
+    from raycdc.ops import moment_agg
+
+    out = moment_agg(
+        rd.from_arrow(t).repartition(6), "etype",
+        {
+            "m": ("cents", "mean"),
+            "vp": ("cents", "var_pop"),
+            "vs": ("cents", "var_samp"),
+            "sp": ("cents", "std_pop"),
+            "ss": ("cents", "std_samp"),
+            "cv": ("cents", "user_id", "covar_pop"),
+            "cr": ("cents", "user_id", "corr"),
+        },
+        batch_size=300,
+    ).to_pandas().sort_values("etype").reset_index(drop=True)
+    want = _duck(
+        t,
+        """
+        SELECT etype, avg(cents) AS m, var_pop(cents) AS vp, var_samp(cents) AS vs,
+               stddev_pop(cents) AS sp, stddev_samp(cents) AS ss,
+               covar_pop(cents, user_id) AS cv, corr(cents, user_id) AS cr
+        FROM events GROUP BY etype
+        """,
+    ).to_pandas().sort_values("etype").reset_index(drop=True)
+    assert (out["etype"] == want["etype"]).all()
+    for c in ("m", "vp", "vs", "sp", "ss", "cv", "cr"):
+        assert np.allclose(out[c].to_numpy(), want[c].to_numpy(), rtol=1e-9), c
+
+    # degenerate groups: all-null values -> NULL; single row -> samp NULL
+    t2 = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "c"]),
+            "v": pa.array([None, None, 7, 1], type=pa.int64()),
+            "w": pa.array([1, 2, 3, None], type=pa.int64()),
+        }
+    )
+    o2 = moment_agg(
+        rd.from_arrow(t2), "k",
+        {"m": ("v", "mean"), "vs": ("v", "var_samp"), "cr": ("v", "w", "corr")},
+    ).to_pandas().set_index("k")
+    assert np.isnan(o2.loc["a", "m"]) and np.isnan(o2.loc["a", "vs"])
+    assert o2.loc["b", "m"] == 7 and np.isnan(o2.loc["b", "vs"])
+    assert np.isnan(o2.loc["c", "cr"])  # w null -> no pair rows
