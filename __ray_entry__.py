@@ -1006,6 +1006,31 @@ def q_events_prev_value(sf_dir: str):
     )
 
 
+def q_events_next_value(sf_dir: str):
+    """Per-key LEAD plus whole-partition FIRST/LAST value: each event
+    carries its user's next event value and the user's first/last value
+    in replay order — the look-ahead / boundary-feature family, all
+    copied (never computed) doubles so the SQL window oracle matches
+    bit-for-bit. Two bounded bucket shuffles (lead, then edges)."""
+    from raycdc.ops import grouped_first_last, grouped_lead
+
+    out = grouped_lead(
+        _ev(sf_dir).map_batches(
+            lambda t: t.select(["event_id", "user_id", "ts", "value"]),
+            batch_format="pyarrow",
+        ),
+        "user_id", order_cols=["ts", "event_id"], val_col="value",
+        out_col="next_value",
+    )
+    out = grouped_first_last(
+        out, "user_id", order_cols=["ts", "event_id"], val_col="value",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "next_value", "first_val", "last_val"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_anti_orders(sf_dir: str):
     """Large×large anti-join (SQL NOT EXISTS): events whose user placed
     no even-keyed order — the orphan-routing pattern at scale, where the
@@ -1442,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": q_top_words,
         "events_anti_orders": q_events_anti_orders,
         "events_prev_value": q_events_prev_value,
+        "events_next_value": q_events_next_value,
         "events_running_total": q_events_running_total,
         "events_rolling_sum": q_events_rolling_sum,
         "orders_rollup": q_orders_rollup,
@@ -1845,6 +1871,17 @@ def oracle_sql() -> dict[str, str]:
                    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      AS prev_value
             FROM events
+        """,
+        "events_next_value": """
+            SELECT event_id, user_id,
+                   lead(value) OVER w AS next_value,
+                   first_value(value) OVER wf AS first_val,
+                   last_value(value) OVER wf AS last_val
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING)
         """,
         "events_anti_orders": """
             SELECT event_id, user_id

@@ -1917,3 +1917,93 @@ def moment_agg(
         return pa.table(out_cols)
 
     return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_lead(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    val_col: str,
+    periods: int = 1,
+    out_col: str = "next",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key LEAD (SQL ``lead(val, p) OVER (PARTITION BY key ORDER BY
+    ...)``): mirror of :func:`grouped_lag` — the value ``periods`` rows
+    LATER within the key, NULL when the lead crosses the key's end.
+    Same shape: one bounded hash-bucket shuffle, vectorized in-bucket
+    sort + masked index take."""
+    if periods < 1:
+        raise ValueError("periods must be >= 1")
+    from raycdc.util import bucket_of
+
+    order = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=order)).combine_chunks()
+        n = g.num_rows
+        new_key = _run_boundaries(g.column(key), n)
+        pos = np.arange(n)
+        # key_end[i] = last index of i's key run: next run's start - 1
+        starts = np.flatnonzero(new_key)
+        ends = np.r_[starts[1:], n] - 1 if n else np.array([], dtype=np.int64)
+        key_end = ends[np.cumsum(new_key) - 1] if n else np.array([], dtype=np.int64)
+        led = pa.array(pos + periods, mask=(key_end - pos) < periods)
+        return g.append_column(out_col, g.column(val_col).take(led))
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def grouped_first_last(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    val_col: str,
+    first_col: str | None = "first_val",
+    last_col: str | None = "last_val",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key FIRST_VALUE / LAST_VALUE over the WHOLE partition (SQL
+    ``first_value(val) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)``): every row gains its
+    key's first and/or last value in the given order. One bounded
+    hash-bucket shuffle; in-bucket the values are gathered with two
+    Arrow takes at the key-run boundary indices."""
+    from raycdc.util import bucket_of
+
+    order = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=order)).combine_chunks()
+        n = g.num_rows
+        new_key = _run_boundaries(g.column(key), n)
+        pos = np.arange(n)
+        key_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+        if first_col is not None:
+            g = g.append_column(first_col, g.column(val_col).take(pa.array(key_start)))
+        if last_col is not None:
+            starts = np.flatnonzero(new_key)
+            ends = np.r_[starts[1:], n] - 1 if n else np.array([], dtype=np.int64)
+            key_end = ends[np.cumsum(new_key) - 1] if n else np.array([], dtype=np.int64)
+            g = g.append_column(last_col, g.column(val_col).take(pa.array(key_end)))
+        return g
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -834,3 +834,55 @@ def test_moment_agg_matches_duckdb_stats():
     assert np.isnan(o2.loc["a", "m"]) and np.isnan(o2.loc["a", "vs"])
     assert o2.loc["b", "m"] == 7 and np.isnan(o2.loc["b", "vs"])
     assert np.isnan(o2.loc["c", "cr"])  # w null -> no pair rows
+
+
+def test_grouped_lead_matches_sql_lead():
+    t = _events(n=2500, seed=811, with_nulls=True)
+    from raycdc.ops import grouped_lead
+
+    for p in (1, 3):
+        out = grouped_lead(
+            rd.from_arrow(t).repartition(4), "user_id",
+            order_cols=["ts", "event_id"], val_col="cents", periods=p,
+            num_buckets=8, batch_size=350,
+        ).to_pandas()
+        want = _duck(
+            t,
+            f"""
+            SELECT event_id,
+                   lead(cents, {p}) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next
+            FROM events
+            """,
+        ).to_pandas()
+        got = out[["event_id", "next"]].sort_values("event_id").reset_index(drop=True)
+        want = want.sort_values("event_id").reset_index(drop=True)
+        nn = got["next"].isna().to_numpy() & want["next"].isna().to_numpy()
+        assert ((got["next"].to_numpy() == want["next"].to_numpy()) | nn).all(), p
+
+
+def test_grouped_first_last_matches_sql():
+    t = _events(n=2000, seed=907, with_nulls=True)
+    from raycdc.ops import grouped_first_last
+
+    out = grouped_first_last(
+        rd.from_arrow(t).repartition(3), "user_id",
+        order_cols=["ts", "event_id"], val_col="cents",
+        num_buckets=8, batch_size=300,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT event_id,
+               first_value(cents) OVER w AS first_val,
+               last_value(cents)  OVER w AS last_val
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+    ).to_pandas()
+    got = out.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    for c in ("first_val", "last_val"):
+        nn = got[c].isna().to_numpy() & want[c].isna().to_numpy()
+        assert ((got[c].to_numpy() == want[c].to_numpy()) | nn).all(), c
