@@ -1711,16 +1711,22 @@ def grouped_rank(
     rn_col: str | None = "rn",
     rank_col: str | None = "rnk",
     dense_col: str | None = "drnk",
+    pr_col: str | None = None,
+    cd_col: str | None = None,
     num_buckets: int = 64,
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
-    """Per-key ROW_NUMBER / RANK / DENSE_RANK in ONE pass (SQL
-    ``.. OVER (PARTITION BY key ORDER BY ...)``). Rows sort by the full
-    ``order_cols`` (pass a total order so row_number is deterministic);
-    RANK/DENSE_RANK ties are decided by ``tie_cols`` (default: all of
-    ``order_cols`` — give a PREFIX when the tail is only a row_number
-    tiebreaker, exactly SQL's two different ORDER BY lists). Any of the
-    three output columns can be disabled with None.
+    """Per-key ROW_NUMBER / RANK / DENSE_RANK — plus optional
+    PERCENT_RANK (``pr_col``) and CUME_DIST (``cd_col``) — in ONE pass
+    (SQL ``.. OVER (PARTITION BY key ORDER BY ...)``). Rows sort by the
+    full ``order_cols`` (pass a total order so row_number is
+    deterministic); RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST ties are
+    decided by ``tie_cols`` (default: all of ``order_cols`` — give a
+    PREFIX when the tail is only a row_number tiebreaker, exactly SQL's
+    two different ORDER BY lists). Any output column can be disabled
+    with None. Float finalize order is fixed for SQL-oracle bit parity:
+    percent_rank = (rank - 1) / (n_key - 1) (0.0 when n_key = 1);
+    cume_dist = n_at_or_before_tie / n_key.
 
     Shape: ONE bounded hash-bucket shuffle on ``key``; in-bucket kernel
     is a vectorized sort + run-boundary masks + cumulative maxima — no
@@ -1745,20 +1751,50 @@ def grouped_rank(
         key_start = np.maximum.accumulate(np.where(new_key, pos, 0))
         if rn_col is not None:
             g = g.append_column(rn_col, pa.array(pos - key_start + 1, pa.int64()))
-        if rank_col is not None or dense_col is not None:
+        need_tie = (
+            rank_col is not None or dense_col is not None
+            or pr_col is not None or cd_col is not None
+        )
+        if need_tie:
             tie_change = new_key.copy()
             for c in tie_cols:
                 tie_change |= _run_boundaries(g.column(c), n)
+            tie_start = np.maximum.accumulate(np.where(tie_change, pos, 0))
+            rnk = tie_start - key_start + 1
             if rank_col is not None:
-                tie_start = np.maximum.accumulate(np.where(tie_change, pos, 0))
-                g = g.append_column(
-                    rank_col, pa.array(tie_start - key_start + 1, pa.int64())
-                )
+                g = g.append_column(rank_col, pa.array(rnk, pa.int64()))
             if dense_col is not None:
                 dr = np.cumsum(tie_change)
                 g = g.append_column(
                     dense_col, pa.array(dr - dr[key_start] + 1, pa.int64())
                 )
+            if pr_col is not None or cd_col is not None:
+                starts = np.flatnonzero(new_key)
+                ends = np.r_[starts[1:], n] - 1 if n else np.array([], dtype=np.int64)
+                key_end = (
+                    ends[np.cumsum(new_key) - 1] if n else np.array([], dtype=np.int64)
+                )
+                n_key = (key_end - key_start + 1).astype(np.float64)
+                if pr_col is not None:
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        prv = (rnk - 1).astype(np.float64) / (n_key - 1)
+                    prv[n_key == 1] = 0.0
+                    g = g.append_column(pr_col, pa.array(prv, pa.float64()))
+                if cd_col is not None:
+                    # rows at-or-before this row's tie run = last index of the
+                    # tie run - key_start + 1; tie-run end mirrors key_end
+                    tstarts = np.flatnonzero(tie_change)
+                    tends = (
+                        np.r_[tstarts[1:], n] - 1 if n else np.array([], dtype=np.int64)
+                    )
+                    tie_end = (
+                        tends[np.cumsum(tie_change) - 1]
+                        if n
+                        else np.array([], dtype=np.int64)
+                    )
+                    tie_end = np.minimum(tie_end, key_end)
+                    cdv = (tie_end - key_start + 1).astype(np.float64) / n_key
+                    g = g.append_column(cd_col, pa.array(cdv, pa.float64()))
         return g
 
     return (

@@ -886,3 +886,36 @@ def test_grouped_first_last_matches_sql():
     for c in ("first_val", "last_val"):
         nn = got[c].isna().to_numpy() & want[c].isna().to_numpy()
         assert ((got[c].to_numpy() == want[c].to_numpy()) | nn).all(), c
+
+
+def test_grouped_rank_percent_rank_cume_dist():
+    t = _events(n=2500, seed=1009, with_nulls=True)
+    t = t.append_column("coarse", pc.multiply(pc.divide(t["cents"], 2000), 2000))
+    from raycdc.ops import grouped_rank
+
+    out = grouped_rank(
+        rd.from_arrow(t).repartition(4), "user_id",
+        order_cols=["coarse", "event_id"], tie_cols=["coarse"],
+        rn_col=None, rank_col=None, dense_col=None,
+        pr_col="pr", cd_col="cd", num_buckets=8, batch_size=350,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT event_id,
+               percent_rank() OVER (PARTITION BY user_id ORDER BY coarse) AS pr,
+               cume_dist()    OVER (PARTITION BY user_id ORDER BY coarse) AS cd
+        FROM events
+        """,
+    ).to_pandas()
+    got = out[["event_id", "pr", "cd"]].sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    for c in ("pr", "cd"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c  # bit-exact
+
+    # single-row key: percent_rank 0.0, cume_dist 1.0
+    t1 = pa.table({"k": pa.array([9], pa.int64()), "v": pa.array([1], pa.int64())})
+    o1 = grouped_rank(
+        rd.from_arrow(t1), "k", order_cols=["v"], pr_col="pr", cd_col="cd"
+    ).to_pandas()
+    assert o1["pr"].iloc[0] == 0.0 and o1["cd"].iloc[0] == 1.0
