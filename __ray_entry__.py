@@ -1217,6 +1217,27 @@ def q_lineitem_unpivot(sf_dir: str):
     )
 
 
+def q_grouped_quantile_cont(sf_dir: str):
+    """Interpolated per-key quantiles (SQL percentile_cont): exact
+    cents per user at p25/p50/p95 with DuckDB's own lerp arithmetic
+    replicated bit-for-bit — one bounded bucket shuffle of the pruned
+    (key, value) pair stream."""
+    from raycdc.ops import grouped_quantile_cont
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "cents": pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantile_cont(
+        ev, "user_id", "cents", {"p25": 0.25, "p50": 0.5, "p95": 0.95}
+    )
+
+
 def q_lineitem_stats(sf_dir: str):
     """Grouped moment statistics (mean / var_pop / std_samp / corr) via
     the combiner-groupby: partial (n, Σx, Σx², Σxy, ..) per batch, one
@@ -1476,6 +1497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rank_per_customer": q_orders_rank_per_customer,
         "lineitem_unpivot": q_lineitem_unpivot,
         "lineitem_stats": q_lineitem_stats,
+        "grouped_quantile_cont": q_grouped_quantile_cont,
         "q3_unshipped_orders": q3_unshipped_orders,
         "q6_revenue_delta": q6_revenue_delta,
         "docs_outlier_filter": q_docs_outlier_filter,
@@ -1789,6 +1811,16 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1995-01-01'
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        "grouped_quantile_cont": """
+            WITH c AS (SELECT user_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT user_id,
+                   quantile_cont(cents, 0.25) AS p25,
+                   quantile_cont(cents, 0.5) AS p50,
+                   quantile_cont(cents, 0.95) AS p95
+            FROM c WHERE cents IS NOT NULL GROUP BY user_id
         """,
         "lineitem_stats": """
             WITH c AS (SELECT l_returnflag,

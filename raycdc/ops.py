@@ -2043,3 +2043,62 @@ def grouped_first_last(
         .groupby("_bucket")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def grouped_quantile_cont(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    qs: dict[str, float],
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """EXACT per-group INTERPOLATED quantiles (SQL ``quantile_cont`` /
+    ``percentile_cont``): for each key, ``q`` yields the linear
+    interpolation between the two order statistics around rank
+    ``q*(n-1)``. The finalize replicates DuckDB's float64 arithmetic —
+    ``RN = (n-1)*q; d = RN - floor(RN); v_lo*(1-d) + v_hi*d`` — verified
+    bit-identical across n=1..4096 × 18 short-literal quantiles (a
+    LONG-mantissa q literal can differ 1 ulp through SQL's
+    DECIMAL→DOUBLE parse, so keep oracle literals short).
+
+    Same shape as :func:`grouped_quantile`: column-pruned, ONE bounded
+    hash-bucket shuffle, vectorized in-bucket sort + gathers. NULL
+    values ignored; all-null keys dropped; NULL keys one group. Output
+    columns are float64 (SQL convention)."""
+    for name, q in qs.items():
+        if not 0.0 <= float(q) <= 1.0:
+            raise ValueError(f"quantile {name}={q} outside [0, 1]")
+    from raycdc.util import bucket_of
+
+    def stamp(t: pa.Table) -> pa.Table:
+        t = t.select([key, col])
+        t = t.filter(pc.is_valid(t.column(col)))
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[(key, "ascending"), (col, "ascending")])
+        ).combine_chunks()
+        n = g.num_rows
+        kcol = g.column(key)
+        vals = np.asarray(g.column(col).cast(pa.float64()))
+        new_key = _run_boundaries(kcol, n)
+        starts = np.flatnonzero(new_key)
+        cnt = np.r_[starts[1:], n] - starts
+        cols = {key: kcol.take(pa.array(starts))}
+        for name, q in qs.items():
+            rn = (cnt - 1).astype(np.float64) * np.float64(q)
+            frn = np.floor(rn)
+            lo = vals[starts + frn.astype(np.int64)]
+            hi = vals[starts + np.ceil(rn).astype(np.int64)]
+            d = rn - frn
+            cols[name] = pa.array(lo * (np.float64(1.0) - d) + hi * d, pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -919,3 +919,34 @@ def test_grouped_rank_percent_rank_cume_dist():
         rd.from_arrow(t1), "k", order_cols=["v"], pr_col="pr", cd_col="cd"
     ).to_pandas()
     assert o1["pr"].iloc[0] == 0.0 and o1["cd"].iloc[0] == 1.0
+
+
+def test_grouped_quantile_cont_matches_duckdb_bitwise():
+    t = _events(n=5000, seed=1103, with_nulls=True)
+    from raycdc.ops import grouped_quantile_cont
+
+    out = grouped_quantile_cont(
+        rd.from_arrow(t).repartition(7), "user_id", "cents",
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99, "p0": 0.0, "p100": 1.0},
+        num_buckets=8, batch_size=333,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT user_id,
+               quantile_cont(cents, 0.25) AS p25, quantile_cont(cents, 0.5) AS p50,
+               quantile_cont(cents, 0.9) AS p90, quantile_cont(cents, 0.99) AS p99,
+               quantile_cont(cents, 0.0) AS p0, quantile_cont(cents, 1.0) AS p100
+        FROM events WHERE cents IS NOT NULL GROUP BY user_id
+        """,
+    ).to_pandas()
+    got = out.sort_values("user_id", na_position="last").reset_index(drop=True)
+    want = want.sort_values("user_id", na_position="last").reset_index(drop=True)
+    assert got.shape == want.shape
+    for c in ("p25", "p50", "p90", "p99", "p0", "p100"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c  # bit-exact
+
+    # single-value key: every quantile is that value
+    t1 = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([42], pa.int64())})
+    o1 = grouped_quantile_cont(rd.from_arrow(t1), "k", "v", {"p50": 0.5}).to_pandas()
+    assert o1["p50"].iloc[0] == 42.0
