@@ -1217,6 +1217,22 @@ def q_lineitem_unpivot(sf_dir: str):
     )
 
 
+def q_customers_except_users(sf_dir: str):
+    """SQL EXCEPT at scale: distinct order custkeys minus distinct
+    event users (customers who never evented). Both sides locally
+    dedupe per batch (combiner) before the single bucket shuffle —
+    only one row per distinct key per batch ever moves."""
+    from raycdc.ops import set_op
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    ).map_batches(lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow")
+    return set_op(orders, ev, "except")
+
+
 def q_grouped_quantile_cont(sf_dir: str):
     """Interpolated per-key quantiles (SQL percentile_cont): exact
     cents per user at p25/p50/p95 with DuckDB's own lerp arithmetic
@@ -1498,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": q_lineitem_unpivot,
         "lineitem_stats": q_lineitem_stats,
         "grouped_quantile_cont": q_grouped_quantile_cont,
+        "customers_except_users": q_customers_except_users,
         "q3_unshipped_orders": q3_unshipped_orders,
         "q6_revenue_delta": q6_revenue_delta,
         "docs_outlier_filter": q_docs_outlier_filter,
@@ -1811,6 +1828,11 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1995-01-01'
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        "customers_except_users": """
+            SELECT o_custkey FROM orders
+            EXCEPT
+            SELECT user_id AS o_custkey FROM events
         """,
         "grouped_quantile_cont": """
             WITH c AS (SELECT user_id,

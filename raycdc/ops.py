@@ -2102,3 +2102,70 @@ def grouped_quantile_cont(
         .groupby("_bucket")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def set_op(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    how: str,
+    cols: list[str] | None = None,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """SQL set operations with DISTINCT semantics: ``how`` ∈
+    {"intersect", "except", "union"} — INTERSECT / EXCEPT / UNION
+    (each deduplicates, per the SQL default). ``cols`` projects both
+    sides first (default: the left schema's columns; both sides must
+    share them).
+
+    Shape: both sides prune to ``cols``, dedupe LOCALLY per batch
+    (the combiner trick — at most one row per distinct value leaves a
+    batch per side), then ONE bounded hash-bucket shuffle co-locates
+    equal rows; the in-bucket kernel is a vectorized pandas indicator
+    merge over (row, side). NULLs compare equal to NULLs, as SQL set
+    operations do (DISTINCT grouping, not join equality)."""
+    if how not in ("intersect", "except", "union"):
+        raise ValueError("how must be 'intersect', 'except' or 'union'")
+    from raycdc.util import splitmix64, str_hash_u64
+
+    cols = list(left.schema().names) if cols is None else list(cols)
+
+    def bucket_multi(t: pa.Table) -> np.ndarray:
+        h = str_hash_u64(t.column(cols[0]).cast(pa.string()))
+        for i, b in enumerate(cols[1:], 1):
+            h = splitmix64(h ^ str_hash_u64(t.column(b).cast(pa.string()), seed=i))
+        return (h % np.uint64(num_buckets)).astype(np.int32)
+
+    def conform(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            # local distinct: combiner prune before the shuffle
+            t = t.group_by(cols).aggregate([]) if t.num_rows else t
+            return t.append_column(
+                "_side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            ).append_column("_bucket", pa.array(bucket_multi(t)))
+
+        return fn
+
+    tagged = left.map_batches(conform(0), batch_format="pyarrow", batch_size=batch_size).union(
+        right.map_batches(conform(1), batch_format="pyarrow", batch_size=batch_size)
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = np.asarray(g["_side"])
+        g = g.drop_columns(["_side", "_bucket"])
+        df = g.to_pandas()
+        in_l = pd.Series(side == 0).groupby([df[c] for c in cols], dropna=False).transform("any")
+        in_r = pd.Series(side == 1).groupby([df[c] for c in cols], dropna=False).transform("any")
+        first = ~df.duplicated(cols)
+        if how == "intersect":
+            keep = first & in_l.to_numpy() & in_r.to_numpy()
+        elif how == "except":
+            keep = first & in_l.to_numpy() & ~in_r.to_numpy()
+        else:
+            keep = first
+        return g.filter(pa.array(keep.to_numpy()))
+
+    return tagged.groupby("_bucket").map_groups(fold, batch_format="pyarrow")

@@ -950,3 +950,35 @@ def test_grouped_quantile_cont_matches_duckdb_bitwise():
     t1 = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([42], pa.int64())})
     o1 = grouped_quantile_cont(rd.from_arrow(t1), "k", "v", {"p50": 0.5}).to_pandas()
     assert o1["p50"].iloc[0] == 42.0
+
+
+def test_set_op_matches_sql_set_operations():
+    rng = np.random.default_rng(1201)
+    mk = lambda n, seed_off: pa.table(
+        {
+            "a": pa.array(
+                np.where(rng.random(n) < 0.05, None, rng.integers(0, 30, n)),
+                type=pa.int64(),
+            ),
+            "b": pa.array(rng.choice(["x", "y", None], n)),
+        }
+    )
+    lt, rt = mk(400, 0), mk(300, 1)
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    from raycdc.ops import set_op
+
+    for how, sqlop in (("intersect", "INTERSECT"), ("except", "EXCEPT"), ("union", "UNION")):
+        out = set_op(
+            rd.from_arrow(lt).repartition(3), rd.from_arrow(rt).repartition(2),
+            how, num_buckets=4,
+        ).to_pandas()
+        want = con.execute(f"SELECT a, b FROM l {sqlop} SELECT a, b FROM r").df()
+        key = ["a", "b"]
+        got = out.sort_values(key, na_position="last").reset_index(drop=True)
+        want = want.sort_values(key, na_position="last").reset_index(drop=True)
+        assert got.shape == want.shape, (how, got.shape, want.shape)
+        for c in key:
+            nn = got[c].isna().to_numpy() & want[c].isna().to_numpy()
+            assert ((got[c].to_numpy() == want[c].to_numpy()) | nn).all(), (how, c)
