@@ -1217,6 +1217,30 @@ def q_lineitem_unpivot(sf_dir: str):
     )
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Importance sampling over documents: keep rate grows with length
+    tier (min(16, n_chars/100) sixteenths) — the corpus re-weighting
+    move — content-addressed so replays keep the identical row set.
+    md5 kernel here solely because DuckDB can run the same expression;
+    the vectorized siphash kernel is the engine default."""
+    from raycdc.ops import weighted_sample
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    ).map_batches(
+        lambda t: t.append_column(
+            "w",
+            pc.min_element_wise(
+                pa.scalar(16, pa.int64()),
+                pc.divide(t["n_chars"].cast(pa.int64()), 100),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return weighted_sample(docs, "doc_id", "w", hash_kernel="md5")
+
+
 def q_customers_except_users(sf_dir: str):
     """SQL EXCEPT at scale: distinct order custkeys minus distinct
     event users (customers who never evented). Both sides locally
@@ -1515,6 +1539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_stats": q_lineitem_stats,
         "grouped_quantile_cont": q_grouped_quantile_cont,
         "customers_except_users": q_customers_except_users,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "q3_unshipped_orders": q3_unshipped_orders,
         "q6_revenue_delta": q6_revenue_delta,
         "docs_outlier_filter": q_docs_outlier_filter,
@@ -1828,6 +1853,14 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1995-01-01'
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        "weighted_sample_docs": """
+            WITH d AS (SELECT doc_id, lang, n_chars,
+                              least(16, CAST(n_chars AS BIGINT) // 100) AS w
+                       FROM documents)
+            SELECT doc_id, lang, n_chars, w FROM d
+            WHERE strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < w
         """,
         "customers_except_users": """
             SELECT o_custkey FROM orders

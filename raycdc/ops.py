@@ -2169,3 +2169,52 @@ def set_op(
         return g.filter(pa.array(keep.to_numpy()))
 
     return tagged.groupby("_bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key: str,
+    weight_col: str,
+    batch_size: int = 65536,
+    hash_kernel: str = "sip",
+) -> ray.data.Dataset:
+    """Content-addressed WEIGHTED Bernoulli sample (importance sampling /
+    corpus re-weighting): each row keeps with probability
+    ``weight/16`` where ``weight`` is the row's integer ``weight_col``
+    clamped to [0, 16]. Like :func:`deterministic_sample` it is a pure
+    function of the key — replay-stable and partitioning-independent —
+    but the rate varies per row, so upweighted strata (long docs, rare
+    languages) survive at higher rates in ONE streaming pass.
+
+    ``hash_kernel``: ``"sip"`` (vectorized engine default) keeps iff
+    ``siphash64(str(key)) % 16 < weight``; ``"md5"`` keeps iff the
+    index of md5's first hex digit is below ``weight`` — the per-row
+    variant DuckDB reproduces verbatim
+    (``strpos('0123456789abcdef', substr(md5(k),1,1)) - 1 < w``).
+    Null keys or null weights are never kept."""
+    def pick(t: pa.Table) -> pa.Table:
+        col = t.column(key).cast(pa.string())
+        w = t.column(weight_col).cast(pa.int64())
+        wv = np.asarray(pc.coalesce(w, pa.scalar(0, pa.int64())))
+        wv = np.clip(wv, 0, 16)
+        if hash_kernel == "sip":
+            from raycdc.util import str_hash_u64
+
+            h = (str_hash_u64(col) % np.uint64(16)).astype(np.int64)
+        elif hash_kernel == "md5":
+            import hashlib
+
+            digits = "0123456789abcdef"
+            h = np.array(
+                [
+                    digits.index(hashlib.md5(v.encode()).hexdigest()[0]) if v is not None else 16
+                    for v in col.to_pylist()
+                ],
+                dtype=np.int64,
+            )
+        else:
+            raise ValueError(f"unknown hash kernel {hash_kernel!r}")
+        valid = np.asarray(pc.is_valid(col.combine_chunks()))
+        return t.filter(pa.array((h < wv) & valid))
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=batch_size)

@@ -982,3 +982,43 @@ def test_set_op_matches_sql_set_operations():
         for c in key:
             nn = got[c].isna().to_numpy() & want[c].isna().to_numpy()
             assert ((got[c].to_numpy() == want[c].to_numpy()) | nn).all(), (how, c)
+
+
+def test_weighted_sample_kernels_and_rates():
+    from raycdc.ops import weighted_sample
+
+    n = 8000
+    rng = np.random.default_rng(1301)
+    t = pa.table(
+        {
+            "k": pa.array([f"doc{i}" for i in range(n)]),
+            "w": pa.array(rng.integers(0, 17, n).astype(np.int64)),
+        }
+    )
+    for kern in ("sip", "md5"):
+        out = weighted_sample(
+            rd.from_arrow(t).repartition(4), "k", "w", hash_kernel=kern
+        ).to_pandas()
+        # replay-stable: second run identical row set
+        out2 = weighted_sample(rd.from_arrow(t), "k", "w", hash_kernel=kern).to_pandas()
+        assert sorted(out["k"]) == sorted(out2["k"]), kern
+        # rate tracks weight/16 (binomial tolerance)
+        got_rate = len(out) / n
+        exp_rate = float(np.mean(np.minimum(t["w"].to_numpy(), 16) / 16))
+        assert abs(got_rate - exp_rate) < 0.03, (kern, got_rate, exp_rate)
+        # w=0 rows never kept; w=16 rows always kept
+        df = t.to_pandas().merge(out, on="k", how="left", indicator=True)
+        kept = (df["_merge"] == "both").to_numpy()
+        assert not kept[df["w_x"].to_numpy() == 0].any(), kern
+        assert kept[df["w_x"].to_numpy() == 16].all(), kern
+
+    # md5 kernel matches DuckDB's expression verbatim
+    out = weighted_sample(rd.from_arrow(t), "k", "w", hash_kernel="md5").to_pandas()
+    want = _duck(
+        t.rename_columns(["k", "w"]),
+        """
+        SELECT k FROM events
+        WHERE strpos('0123456789abcdef', substr(md5(k), 1, 1)) - 1 < w
+        """,
+    ).to_pandas()
+    assert sorted(out["k"]) == sorted(want["k"])
