@@ -1217,6 +1217,19 @@ def q_lineitem_unpivot(sf_dir: str):
     )
 
 
+def q_events_mode_type(sf_dir: str):
+    """Per-user modal event type (deterministic min-value tie-break):
+    pair counts fold as a combiner groupby — one row per distinct
+    (user, type) pair shuffles, never events — then a bounded bucket
+    shuffle picks each user's head."""
+    from raycdc.ops import grouped_mode
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    return grouped_mode(ev, "user_id", "event_type", out_col="mode", n_col="n")
+
+
 def q_weighted_sample_docs(sf_dir: str):
     """Importance sampling over documents: keep rate grows with length
     tier (min(16, n_chars/100) sixteenths) — the corpus re-weighting
@@ -1540,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantile_cont": q_grouped_quantile_cont,
         "customers_except_users": q_customers_except_users,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "events_mode_type": q_events_mode_type,
         "q3_unshipped_orders": q3_unshipped_orders,
         "q6_revenue_delta": q6_revenue_delta,
         "docs_outlier_filter": q_docs_outlier_filter,
@@ -1853,6 +1867,17 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1995-01-01'
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        "events_mode_type": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events WHERE event_type IS NOT NULL
+                       GROUP BY user_id, event_type),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                    ORDER BY n DESC, event_type)
+                              AS rn
+                       FROM c)
+            SELECT user_id, event_type AS mode, n FROM r WHERE rn = 1
         """,
         "weighted_sample_docs": """
             WITH d AS (SELECT doc_id, lang, n_chars,

@@ -2218,3 +2218,58 @@ def weighted_sample(
         return t.filter(pa.array((h < wv) & valid))
 
     return ds.map_batches(pick, batch_format="pyarrow", batch_size=batch_size)
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    out_col: str = "mode",
+    n_col: str | None = None,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key MODE: the most frequent non-null ``col`` value, ties
+    broken by the SMALLEST value (deterministic, SQL-expressible —
+    DuckDB's bare ``mode()`` tie-break is undefined, so oracles should
+    use the count-window form). ``n_col`` optionally emits the count.
+
+    Shape: (key, value) pair counts fold as a combiner groupby — the
+    shuffle carries one row per DISTINCT pair, never raw rows — then
+    one bounded bucket shuffle on ``key`` picks each key's head by a
+    vectorized (count desc, value asc) sort + run-boundary gather.
+    All-null keys' rows are dropped (SQL aggregate convention); NULL
+    keys form one group."""
+    from raycdc.util import bucket_of
+
+    pruned = ds.map_batches(
+        lambda t: t.select([key, col]).filter(pc.is_valid(t.column(col))),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    pairs = partial_groupby_agg(pruned, [key, col], {"_n": (col, "count")})
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[(key, "ascending"), ("_n", "descending"), (col, "ascending")],
+            )
+        ).combine_chunks()
+        n = g.num_rows
+        starts = np.flatnonzero(_run_boundaries(g.column(key), n))
+        cols = {key: g.column(key).take(pa.array(starts)),
+                out_col: g.column(col).take(pa.array(starts))}
+        if n_col is not None:
+            cols[n_col] = g.column("_n").take(pa.array(starts))
+        return pa.table(cols)
+
+    return (
+        pairs.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -1022,3 +1022,32 @@ def test_weighted_sample_kernels_and_rates():
         """,
     ).to_pandas()
     assert sorted(out["k"]) == sorted(want["k"])
+
+
+def test_grouped_mode_matches_sql_count_window():
+    t = _events(n=3000, seed=1409, with_nulls=True)
+    # coarse values so real ties occur
+    t = t.append_column("v", pc.divide(t["cents"], 10000))
+    from raycdc.ops import grouped_mode
+
+    out = grouped_mode(
+        rd.from_arrow(t).repartition(5), "user_id", "v", n_col="n",
+        num_buckets=8, batch_size=400,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        WITH c AS (SELECT user_id, v, CAST(count(*) AS BIGINT) AS n
+                   FROM events WHERE v IS NOT NULL GROUP BY user_id, v),
+             r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                ORDER BY n DESC, v) AS rn
+                   FROM c)
+        SELECT user_id, v AS mode, n FROM r WHERE rn = 1
+        """,
+    ).to_pandas()
+    got = out.sort_values("user_id", na_position="last").reset_index(drop=True)
+    want = want.sort_values("user_id", na_position="last").reset_index(drop=True)
+    assert got.shape == want.shape
+    for c in ("mode", "n"):
+        nn = got[c].isna().to_numpy() & want[c].isna().to_numpy() if got[c].isna().any() else np.zeros(len(got), bool)
+        assert ((got[c].to_numpy() == want[c].to_numpy()) | nn).all(), c
