@@ -1217,6 +1217,23 @@ def q_lineitem_unpivot(sf_dir: str):
     )
 
 
+def q_docs_regex(sf_dir: str):
+    """Vectorized regex feature extraction + PII-style redaction over
+    the corpus: first number token captured per doc, all digits masked
+    — two RE2 C passes per batch, map-only. pyarrow and DuckDB share
+    the RE2 engine so the oracle runs the same patterns verbatim."""
+    from raycdc.extras.text import regex_extract, regex_replace
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = regex_extract(docs, "text", r"(?P<g>\d+)", out_col="num")
+    out = regex_replace(out, "text", r"\d", "#", out_col="redacted")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "num", "redacted"]), batch_format="pyarrow"
+    )
+
+
 def q_events_mode_type(sf_dir: str):
     """Per-user modal event type (deterministic min-value tie-break):
     pair counts fold as a combiner groupby — one row per distinct
@@ -1554,6 +1571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_except_users": q_customers_except_users,
         "weighted_sample_docs": q_weighted_sample_docs,
         "events_mode_type": q_events_mode_type,
+        "docs_regex": q_docs_regex,
         "q3_unshipped_orders": q3_unshipped_orders,
         "q6_revenue_delta": q6_revenue_delta,
         "docs_outlier_filter": q_docs_outlier_filter,
@@ -1867,6 +1885,12 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1995-01-01'
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        "docs_regex": """
+            SELECT doc_id,
+                   NULLIF(regexp_extract(text, '(\\d+)', 1), '') AS num,
+                   regexp_replace(text, '\\d', '#', 'g') AS redacted
+            FROM documents
         """,
         "events_mode_type": """
             WITH c AS (SELECT user_id, event_type,

@@ -200,3 +200,60 @@ def top_words(
     totals = partial_groupby_agg(partials, "word", {"n": ("n", "sum")},
                                  batch_size=65536)
     return top_k(totals, by="n", k=k, descending=True, tiebreak="word")
+
+
+def regex_extract(
+    ds: "ray.data.Dataset",
+    col: str,
+    pattern: str,
+    out_col: str = "extracted",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Vectorized regex capture (SQL ``regexp_extract(col, pat, 1)``):
+    ``out_col`` gets capture group 1's text for the FIRST match, NULL
+    when the row doesn't match. One ``pc.extract_regex`` C pass per
+    batch — pyarrow and DuckDB both run RE2, so a shared pattern
+    behaves identically under the oracle. The pattern must contain
+    exactly one named-or-numbered capture group (pyarrow requires a
+    name — write ``(?P<g>...)``; the SQL side uses the same group as
+    ``(...)``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t.column(col).cast(pa.string()), pattern)
+        # extract_regex yields struct<g: string> with a NULL STRUCT for
+        # non-matches — the child array does NOT inherit that validity
+        # (it holds '' there), so re-apply the parent mask explicitly
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        field = pc.if_else(pc.is_valid(s), s.field(0), pa.nulls(len(s), pa.string()))
+        return t.append_column(out_col, field)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def regex_replace(
+    ds: "ray.data.Dataset",
+    col: str,
+    pattern: str,
+    replacement: str,
+    out_col: str | None = None,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Vectorized global regex replace (SQL ``regexp_replace(col, pat,
+    repl, 'g')``): one ``pc.replace_substring_regex`` C pass per batch,
+    RE2 on both engine and oracle. In-place when ``out_col`` is None.
+    Replacement syntax: ``\\1``-style backrefs work on both sides."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        r = pc.replace_substring_regex(
+            t.column(col).cast(pa.string()), pattern=pattern, replacement=replacement
+        )
+        if out_col is None:
+            i = t.column_names.index(col)
+            return t.set_column(i, col, r)
+        return t.append_column(out_col, r)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

@@ -543,3 +543,42 @@ def test_connected_components_empty_pairs():
     pairs = rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
                                     "id_b": pa.array([], pa.int64())}))
     assert connected_components(pairs).take_all() == []
+
+
+def test_regex_extract_and_replace_match_duckdb():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycdc.extras.text import regex_extract, regex_replace
+
+    rng = np.random.default_rng(1501)
+    words = ["alpha beta-7 gamma", "x12 y z", "no digits here", "", "tail 99"]
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(200, dtype=np.int64)),
+            "s": pa.array([words[i % len(words)] for i in range(200)]),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+
+    out = regex_extract(
+        rd.from_arrow(t).repartition(3), "s", r"(?P<g>\d+)", out_col="num"
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    want = con.execute(
+        r"SELECT id, regexp_extract(s, '(\d+)', 1) AS num FROM t ORDER BY id"
+    ).df()
+    # DuckDB returns '' for non-matches; pyarrow returns NULL — normalize
+    a = out["num"].fillna("").to_numpy()
+    b = want["num"].fillna("").to_numpy()
+    assert (a == b).all()
+
+    out = regex_replace(
+        rd.from_arrow(t).repartition(3), "s", r"[aeiou]", "_"
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    want = con.execute(
+        "SELECT id, regexp_replace(s, '[aeiou]', '_', 'g') AS s FROM t ORDER BY id"
+    ).df()
+    assert (out["s"].to_numpy() == want["s"].to_numpy()).all()
