@@ -1472,6 +1472,31 @@ def q_events_rolling_sum(sf_dir: str):
     )
 
 
+def q_events_rolling_stats(sf_dir: str):
+    """The full ROWS-frame rolling family in one shuffle: each event's
+    min/max/mean of its user's last-4 cents values. Mean is the exact
+    CAST(sum AS DOUBLE)/count division order — bit-identical to the
+    SQL expression, never a reassociating windowed avg()."""
+    from raycdc.ops import grouped_rolling_agg
+
+    cents = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]).append_column(
+            "cents", pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_rolling_agg(
+        cents, "user_id", order_cols=["ts", "event_id"],
+        specs={"rmin": ("cents", "min"), "rmax": ("cents", "max"),
+               "rmean": ("cents", "mean")},
+        window=4,
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "rmin", "rmax", "rmean"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_docs_outlier_filter(sf_dir: str):
     """Composed curation cut: per-language p99 document length via
     grouped_quantile (exact, tiny result), broadcast back, keep docs at
@@ -1561,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next_value": q_events_next_value,
         "events_running_total": q_events_running_total,
         "events_rolling_sum": q_events_rolling_sum,
+        "events_rolling_stats": q_events_rolling_stats,
         "orders_rollup": q_orders_rollup,
         "events_orders_full": q_events_orders_full,
         "lineitem_cube": q_lineitem_cube,
@@ -1843,6 +1869,19 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS running_cents
             FROM c
+        """,
+        "events_rolling_stats": """
+            WITH c AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id,
+                   min(cents) OVER w AS rmin,
+                   max(cents) OVER w AS rmax,
+                   CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w
+                     AS rmean
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "orders_rollup": """
             WITH c AS (SELECT o_orderstatus, o_orderpriority,

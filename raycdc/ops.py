@@ -527,8 +527,11 @@ def grouped_min_broadcast(
     ``partial_groupby_agg`` + a broadcast-join dataset path instead."""
     agg = partial_groupby_agg(ds, key, {"_min": (col, "min")}, batch_size=batch_size)
     out = {}
-    for r in agg.iter_rows():
-        out[r[key]] = r["_min"]
+    # batch-wise build: per-row iter_rows() costs ~10 µs/key in driver
+    # Python — at the max_keys bound that is minutes; zip over Arrow
+    # columns is two C passes per batch
+    for t in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
+        out.update(zip(t.column(key).to_pylist(), t.column("_min").to_pylist()))
         if len(out) > max_keys:
             raise ValueError(
                 f"grouped_min_broadcast: key domain exceeds max_keys={max_keys}; "
@@ -2270,6 +2273,102 @@ def grouped_mode(
 
     return (
         pairs.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def grouped_rolling_agg(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    specs: dict[str, tuple[str, str]],
+    window: int,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key ROWS-frame rolling aggregates (SQL ``agg(val) OVER
+    (PARTITION BY key ORDER BY ... ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW)``). ``specs``: out -> (val_col, kernel), kernel ∈
+    ``sum | count | mean | min | max`` — the whole family in ONE bucket
+    shuffle and one in-bucket sort.
+
+    Kernels: sum/count are the exact O(n) cumsum-difference (int64,
+    NULLs add zero / count non-null); mean is ``CAST(sum AS DOUBLE) /
+    count`` in that exact order (bit-identical to the same SQL
+    expression; NULL when the window holds no non-null values — write
+    the oracle as the explicit division, windowed ``avg()`` may
+    reassociate); min/max run pandas' C rolling kernels per key run
+    (values round-trip through float64 — exact for |v| < 2**53)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    for out, (c, kern) in specs.items():
+        if kern not in ("sum", "count", "mean", "min", "max"):
+            raise ValueError(f"unsupported rolling kernel {kern!r}")
+    from raycdc.util import bucket_of
+
+    order = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=order)).combine_chunks()
+        n = g.num_rows
+        new_key = _run_boundaries(g.column(key), n)
+        pos = np.arange(n)
+        key_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+        lo = np.maximum(key_start, pos - (window - 1))
+        run_id = np.cumsum(new_key)
+
+        def wsum(arr: np.ndarray) -> np.ndarray:
+            c0 = np.concatenate([[0], np.cumsum(arr)])
+            return c0[1:] - c0[lo]
+
+        cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def sums_counts(col: str):
+            if col not in cache:
+                a = g.column(col).cast(pa.int64())
+                s = wsum(np.asarray(a.fill_null(0)))
+                c = wsum(np.asarray(pc.is_valid(a), dtype=np.int64))
+                cache[col] = (s, c)
+            return cache[col]
+
+        for out, (col, kern) in specs.items():
+            if kern in ("sum", "count", "mean"):
+                s, c = sums_counts(col)
+                if kern == "sum":
+                    g = g.append_column(out, pa.array(s.astype(np.int64)))
+                elif kern == "count":
+                    g = g.append_column(out, pa.array(c.astype(np.int64)))
+                else:
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        m = s.astype(np.float64) / c
+                    g = g.append_column(out, pa.array(m, pa.float64(), mask=c == 0))
+            else:
+                v = pd.Series(
+                    np.asarray(g.column(col).cast(pa.float64()), dtype=np.float64)
+                )
+                r = getattr(
+                    v.groupby(run_id).rolling(window, min_periods=1), kern
+                )().to_numpy()
+                bad = np.isnan(r)
+                g = g.append_column(
+                    out,
+                    pa.array(
+                        np.where(bad, 0, r).astype(np.int64), pa.int64(), mask=bad
+                    )
+                    if pa.types.is_integer(g.schema.field(col).type)
+                    else pa.array(r, pa.float64(), mask=bad),
+                )
+        return g
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
         .groupby("_bucket")
         .map_groups(fold, batch_format="pyarrow")
     )

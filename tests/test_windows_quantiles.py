@@ -1051,3 +1051,44 @@ def test_grouped_mode_matches_sql_count_window():
     for c in ("mode", "n"):
         nn = got[c].isna().to_numpy() & want[c].isna().to_numpy() if got[c].isna().any() else np.zeros(len(got), bool)
         assert ((got[c].to_numpy() == want[c].to_numpy()) | nn).all(), c
+
+
+def test_grouped_rolling_agg_matches_sql_rows_frame():
+    t = _events(n=2500, seed=1601, with_nulls=True)
+    from raycdc.ops import grouped_rolling_agg
+
+    out = grouped_rolling_agg(
+        rd.from_arrow(t).repartition(4), "user_id",
+        order_cols=["ts", "event_id"],
+        specs={
+            "rsum": ("cents", "sum"),
+            "rcnt": ("cents", "count"),
+            "rmean": ("cents", "mean"),
+            "rmin": ("cents", "min"),
+            "rmax": ("cents", "max"),
+        },
+        window=4, num_buckets=8, batch_size=350,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT event_id,
+               CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS rsum,
+               CAST(count(cents) OVER w AS BIGINT) AS rcnt,
+               CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w AS rmean,
+               min(cents) OVER w AS rmin,
+               max(cents) OVER w AS rmax
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+    ).to_pandas()
+    got = out.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    for c in ("rsum", "rcnt", "rmean", "rmin", "rmax"):
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            nn = np.isnan(a.astype(float)) & np.isnan(b.astype(float))
+            assert ((a == b) | nn).all(), c
+        else:
+            assert (a == b).all(), c
