@@ -1031,6 +1031,31 @@ def q_events_next_value(sf_dir: str):
     )
 
 
+def q_events_bloom_semi(sf_dir: str):
+    """Bloom-accelerated large×large semi-join: a 2 MiB filter built
+    from the even-custkey order side is broadcast once and drops
+    definite non-matches BEFORE the join shuffle (no false negatives;
+    the exact hash_join after it removes the ε false positives) — the
+    shuffle-volume reducer for 100-TB joins. Result is EXACT, hence a
+    full EXISTS oracle."""
+    from raycdc.ops import bloom_build, bloom_semi_filter, hash_join
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id"]), batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["o_custkey"], 1), 0)
+        ).rename_columns(["user_id"]),
+        batch_format="pyarrow",
+    )
+    bm = bloom_build(orders, "user_id", num_bits=1 << 20)
+    pre = bloom_semi_filter(ev, "user_id", bm)
+    return hash_join(pre, orders, "user_id", how="semi")
+
+
 def q_events_anti_orders(sf_dir: str):
     """Large×large anti-join (SQL NOT EXISTS): events whose user placed
     no even-keyed order — the orphan-routing pattern at scale, where the
@@ -1582,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_tiles": q_docs_length_tiles,
         "top_words": q_top_words,
         "events_anti_orders": q_events_anti_orders,
+        "events_bloom_semi": q_events_bloom_semi,
         "events_prev_value": q_events_prev_value,
         "events_next_value": q_events_next_value,
         "events_running_total": q_events_running_total,
@@ -2057,6 +2083,13 @@ def oracle_sql() -> dict[str, str]:
                    wf AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND UNBOUNDED FOLLOWING)
+        """,
+        "events_bloom_semi": """
+            SELECT event_id, user_id
+            FROM events e
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = e.user_id
+                            AND o.o_custkey % 2 = 0)
         """,
         "events_anti_orders": """
             SELECT event_id, user_id

@@ -2372,3 +2372,86 @@ def grouped_rolling_agg(
         .groupby("_bucket")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def bloom_build(
+    ds: ray.data.Dataset,
+    key: str,
+    num_bits: int = 1 << 24,
+    num_hashes: int = 4,
+    batch_size: int = 65536,
+) -> np.ndarray:
+    """Build a Bloom filter over ``key`` (distinct non-null values) and
+    return it as a packed uint64 bitmap (``num_bits/8`` bytes — 2 MiB at
+    the default; size for ~n·10 bits per expected distinct key to keep
+    the false-positive rate ≤ ~1%).
+
+    Shape: each batch emits only the SET BIT INDICES of its keys (k
+    vectorized hash passes, deduped locally — bounded by batch keys ×
+    ``num_hashes``, usually far less); a combiner groupby dedupes
+    indices cluster-wide, and the driver packs the ≤``num_bits``
+    distinct indices into the bitmap. No raw keys ever leave a batch."""
+    from raycdc.util import splitmix64, str_hash_u64
+
+    nb = np.uint64(num_bits)
+
+    def indices(t: pa.Table) -> pa.Table:
+        col = t.column(key).cast(pa.string())
+        col = col.filter(pc.is_valid(col))
+        h = str_hash_u64(col)
+        idx = [(splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF)) % nb)
+               for i in range(num_hashes)]
+        u = np.unique(np.concatenate(idx)) if idx else np.array([], np.uint64)
+        return pa.table({"_bit": pa.array(u.astype(np.int64))})
+
+    bits = partial_groupby_agg(
+        ds.map_batches(indices, batch_format="pyarrow", batch_size=batch_size),
+        "_bit", {"_n": ("_bit", "count")},
+    )
+    bitmap = np.zeros(num_bits >> 6, dtype=np.uint64)
+    for t in bits.iter_batches(batch_size=None, batch_format="pyarrow"):
+        idx = np.asarray(t.column("_bit"), dtype=np.uint64)
+        np.bitwise_or.at(bitmap, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    return bitmap
+
+
+def bloom_semi_filter(
+    ds: ray.data.Dataset,
+    key: str,
+    bitmap,
+    num_hashes: int = 4,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Approximate semi-join pre-filter: keep rows whose ``key`` is
+    POSSIBLY in the Bloom filter built by :func:`bloom_build` (no false
+    negatives; false positives pass through at the filter's FP rate).
+    The 100-TB move: broadcast the 2 MiB bitmap once (``ray.put``) and
+    drop definite non-matches BEFORE a hash_join/set_op shuffle —
+    shuffle volume falls to matches + ε. Follow with the exact join for
+    exact semantics; null keys are dropped (they match nothing).
+    ``bitmap`` may be the numpy array or an ObjectRef of it."""
+    import ray as _ray
+
+    from raycdc.util import splitmix64, str_hash_u64
+
+    ref = bitmap if isinstance(bitmap, _ray.ObjectRef) else _ray.put(bitmap)
+
+    class Probe:
+        def __init__(self):
+            self.bm = _ray.get(ref)
+            self.nb = np.uint64(len(self.bm) << 6)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t.column(key).cast(pa.string())
+            h = str_hash_u64(col)
+            keep = np.asarray(pc.is_valid(col.combine_chunks()))
+            for i in range(num_hashes):
+                idx = splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF)) % self.nb
+                word = self.bm[(idx >> np.uint64(6)).astype(np.int64)]
+                keep &= ((word >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
+            return t.filter(pa.array(keep))
+
+    return ds.map_batches(
+        Probe, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 4)
+    )

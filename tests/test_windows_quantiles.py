@@ -1092,3 +1092,37 @@ def test_grouped_rolling_agg_matches_sql_rows_frame():
             assert ((a == b) | nn).all(), c
         else:
             assert (a == b).all(), c
+
+
+def test_bloom_semi_filter_no_false_negatives_and_low_fp():
+    from raycdc.ops import bloom_build, bloom_semi_filter, hash_join
+
+    n_r, n_l = 3000, 12000
+    rng = np.random.default_rng(1701)
+    rt = pa.table({"k": pa.array([f"in{i}" for i in range(n_r)])})
+    # half the left keys match, half definitely don't
+    lks = [f"in{i}" for i in rng.integers(0, n_r, n_l // 2)] + [
+        f"out{i}" for i in range(n_l // 2)
+    ]
+    lt = pa.table({"k": pa.array(lks), "v": pa.array(np.arange(n_l, dtype=np.int64))})
+
+    bm = bloom_build(rd.from_arrow(rt).repartition(3), "k", num_bits=1 << 16)
+    filtered = bloom_semi_filter(rd.from_arrow(lt).repartition(4), "k", bm).to_pandas()
+
+    # no false negatives: every true match survives
+    true_match = {k for k in lks if k.startswith("in")}
+    got = set(filtered["k"])
+    assert true_match <= got
+    # false positives bounded: 2^16 bits / 3000 keys ≈ 21.8 bits/key → FP << 5%
+    fp = len(got - true_match)
+    assert fp / (n_l // 2) < 0.05, fp
+
+    # composed with the exact join it is EXACTLY the semi join
+    exact = hash_join(
+        rd.from_arrow(lt), rd.from_arrow(rt), "k", how="semi"
+    ).to_pandas()
+    composed = hash_join(
+        bloom_semi_filter(rd.from_arrow(lt), "k", bm),
+        rd.from_arrow(rt), "k", how="semi",
+    ).to_pandas()
+    assert sorted(composed["v"]) == sorted(exact["v"])
