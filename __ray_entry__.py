@@ -1259,6 +1259,25 @@ def q_docs_regex(sf_dir: str):
     )
 
 
+def q_events_props_extract(sf_dir: str):
+    """JSON metadata extraction over the events props column: the 'k'
+    field pulled by the vectorized flat-JSON RE2 path (two C passes per
+    batch, no per-row parse) and cast to BIGINT — the metadata-mining
+    move every training-data pipeline does."""
+    from raycdc.extras.text import json_extract_scalar
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    )
+    out = json_extract_scalar(ev, "props", "k", out_col="k_str")
+    return out.map_batches(
+        lambda t: pa.table(
+            {"event_id": t["event_id"], "k": t["k_str"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_mode_type(sf_dir: str):
     """Per-user modal event type (deterministic min-value tie-break):
     pair counts fold as a combiner groupby — one row per distinct
@@ -1623,6 +1642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_except_users": q_customers_except_users,
         "weighted_sample_docs": q_weighted_sample_docs,
         "events_mode_type": q_events_mode_type,
+        "events_props_extract": q_events_props_extract,
         "docs_regex": q_docs_regex,
         "q3_unshipped_orders": q3_unshipped_orders,
         "q6_revenue_delta": q6_revenue_delta,
@@ -1956,6 +1976,11 @@ def oracle_sql() -> dict[str, str]:
                    NULLIF(regexp_extract(text, '(\\d+)', 1), '') AS num,
                    regexp_replace(text, '\\d', '#', 'g') AS redacted
             FROM documents
+        """,
+        "events_props_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
         """,
         "events_mode_type": """
             WITH c AS (SELECT user_id, event_type,

@@ -257,3 +257,66 @@ def regex_replace(
         return t.append_column(out_col, r)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def json_extract_scalar(
+    ds: "ray.data.Dataset",
+    col: str,
+    key: str,
+    out_col: str | None = None,
+    mode: str = "re2",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Extract a top-level scalar field from a JSON-string column (SQL
+    ``json_extract_string(col, '$.key')``), NULL for missing fields,
+    non-object rows, and JSON ``null``.
+
+    ``mode="re2"`` (default) is the vectorized FLAT-JSON fast path: two
+    RE2 C passes per batch (quoted value, then bare number/bool
+    literal). It is exact for objects whose values contain no escaped
+    quotes and whose target key appears at the TOP level — the shape
+    metadata/props columns overwhelmingly have. ``mode="python"`` is
+    the exact per-row ``json.loads`` fallback for nested/escaped
+    payloads (documented slow path — rows, not vectors)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_col = out_col or key
+    esc = re.escape(key)
+    pat_q = rf'"{esc}"\s*:\s*"(?P<g>(?:[^"\\]|\\.)*)"'
+    pat_b = rf'"{esc}"\s*:\s*(?P<g>[^,}}\s"]+)'
+
+    def fast(t: pa.Table) -> pa.Table:
+        s = t.column(col).cast(pa.string())
+
+        def grab(pat):
+            m = pc.extract_regex(s, pat)
+            m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+            return pc.if_else(pc.is_valid(m), m.field(0), pa.nulls(len(m), pa.string()))
+
+        v = pc.coalesce(grab(pat_q), grab(pat_b))
+        v = pc.if_else(pc.equal(v, "null"), pa.nulls(len(v), pa.string()), v)
+        return t.append_column(out_col, v)
+
+    def exact(t: pa.Table) -> pa.Table:
+        import json
+
+        outs = []
+        for raw in t.column(col).to_pylist():
+            try:
+                obj = json.loads(raw) if raw is not None else None
+            except (ValueError, TypeError):
+                obj = None
+            v = obj.get(key) if isinstance(obj, dict) else None
+            outs.append(
+                None if v is None
+                else v if isinstance(v, str)
+                else json.dumps(v)
+            )
+        return t.append_column(out_col, pa.array(outs, pa.string()))
+
+    if mode not in ("re2", "python"):
+        raise ValueError("mode must be 're2' or 'python'")
+    return ds.map_batches(
+        fast if mode == "re2" else exact, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -582,3 +582,28 @@ def test_regex_extract_and_replace_match_duckdb():
         "SELECT id, regexp_replace(s, '[aeiou]', '_', 'g') AS s FROM t ORDER BY id"
     ).df()
     assert (out["s"].to_numpy() == want["s"].to_numpy()).all()
+
+
+def test_json_extract_scalar_modes_match():
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycdc.extras.text import json_extract_scalar
+
+    rows = [
+        '{"k": 69}', '{"k": "hello"}', '{"k": null}', '{"other": 1}',
+        '{"k": true}', '{"k": -3.5}', None, 'not json', '{"k": "a b, c"}',
+    ] * 30
+    t = pa.table({"id": pa.array(range(len(rows))), "props": pa.array(rows)})
+    for mode in ("re2", "python"):
+        out = json_extract_scalar(
+            rd.from_arrow(t).repartition(3), "props", "k", out_col="v", mode=mode
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        want = duckdb.connect().execute(
+            "SELECT id, CASE WHEN json_valid(props) THEN "
+            "json_extract_string(props, '$.k') END AS v FROM t ORDER BY id"
+        ).df()
+        a = out["v"].fillna("\0").to_numpy()
+        b = want["v"].fillna("\0").to_numpy()
+        assert (a == b).all(), (mode, list(zip(rows, a, b))[:6])
