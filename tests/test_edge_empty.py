@@ -1,0 +1,71 @@
+"""Empty- and single-input robustness for the round-3 analytics family:
+every operator must stream through zero-row blocks (the partition-
+boundary case a 100-TB run hits constantly) without raising, and keep
+single-row keys well-defined."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from raycdc.ops import (
+    cube_agg,
+    grouped_first_last,
+    grouped_lead,
+    grouped_mode,
+    grouped_quantile_cont,
+    grouped_rank,
+    grouped_rolling_agg,
+    hash_join,
+    moment_agg,
+    rollup_agg,
+    set_op,
+    unpivot,
+    weighted_sample,
+)
+
+EMPTY = pa.table(
+    {
+        "k": pa.array([], pa.string()),
+        "v": pa.array([], pa.int64()),
+        "o": pa.array([], pa.int64()),
+    }
+)
+ONE = pa.table(
+    {
+        "k": pa.array(["a"]),
+        "v": pa.array([5], pa.int64()),
+        "o": pa.array([1], pa.int64()),
+    }
+)
+
+
+def _n(ds):
+    return ds.count()
+
+
+def test_aggregates_on_empty_input():
+    e = rd.from_arrow(EMPTY)
+    assert _n(rollup_agg(e, ["k"], {"n": ("v", "count")})) == 0
+    assert _n(cube_agg(e, ["k"], {"n": ("v", "count")})) == 0
+    assert _n(moment_agg(e, "k", {"m": ("v", "mean")})) == 0
+    assert _n(grouped_mode(e, "k", "v")) == 0
+    assert _n(grouped_quantile_cont(e, "k", "v", {"p50": 0.5})) == 0
+
+
+def test_windows_on_empty_and_single():
+    e, o = rd.from_arrow(EMPTY), rd.from_arrow(ONE)
+    assert _n(grouped_rank(e, "k", ["o"])) == 0
+    assert _n(grouped_lead(e, "k", ["o"], "v")) == 0
+    assert _n(grouped_first_last(e, "k", ["o"], "v")) == 0
+    assert _n(grouped_rolling_agg(e, "k", ["o"], {"r": ("v", "mean")}, 3)) == 0
+    r1 = grouped_rank(o, "k", ["o"], pr_col="pr", cd_col="cd").to_pandas()
+    assert r1["pr"].iloc[0] == 0.0 and r1["cd"].iloc[0] == 1.0
+    assert _n(grouped_rolling_agg(o, "k", ["o"], {"r": ("v", "min")}, 3)) == 1
+
+
+def test_reshape_and_sets_on_empty_sides():
+    e, o = rd.from_arrow(EMPTY), rd.from_arrow(ONE)
+    assert _n(unpivot(e, ["k"], ["v", "o"])) == 0
+    assert _n(weighted_sample(e, "k", "v")) == 0
+    assert _n(set_op(o, e, "except", cols=["k"])) == 1
+    assert _n(set_op(e, e, "union", cols=["k"])) == 0
+    assert _n(hash_join(o, e, "k", how="full")) == 1
