@@ -1473,6 +1473,45 @@ def q6_revenue_delta(sf_dir: str):
     return pa.table({"revenue": pa.array([int(total or 0)], pa.int64())})
 
 
+def q12_priority_by_flag(sf_dir: str):
+    """TPC-H Q12 shape: lineitem ⨝ orders on orderkey (two large sides
+    — one bounded shuffle; only the needed columns conform), then
+    conditional counts per returnflag: urgent/high orders vs the rest,
+    via a vectorized indicator stamp + combiner groupby."""
+    from raycdc.ops import hash_join, partial_groupby_agg
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag"],
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_returnflag"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    j = hash_join(li, orders, "o_orderkey", how="inner")
+
+    def stamp(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            t["o_orderpriority"], value_set=pa.array(["1-URGENT", "2-HIGH"])
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "high": hi,
+                "low": pc.subtract(pa.scalar(1, pa.int64()), hi),
+            }
+        )
+
+    return partial_groupby_agg(
+        j.map_batches(stamp, batch_format="pyarrow"),
+        "l_returnflag",
+        {"high_count": ("high", "sum"), "low_count": ("low", "sum")},
+    )
+
+
 def q_events_orders_full(sf_dir: str):
     """Large×large FULL OUTER join: per-user event counts against
     per-custkey order counts — unmatched rows survive on BOTH sides
@@ -1646,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_regex": q_docs_regex,
         "q3_unshipped_orders": q3_unshipped_orders,
         "q6_revenue_delta": q6_revenue_delta,
+        "q12_priority_by_flag": q12_priority_by_flag,
         "docs_outlier_filter": q_docs_outlier_filter,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1959,6 +1999,15 @@ def oracle_sql() -> dict[str, str]:
             FROM rev JOIN bo ON bo.l_orderkey = rev.l_orderkey
             ORDER BY rev.revenue DESC, rev.l_orderkey
             LIMIT 10
+        """,
+        "q12_priority_by_flag": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY l_returnflag
         """,
         "q6_revenue_delta": """
             SELECT CAST(coalesce(sum(
