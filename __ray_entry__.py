@@ -1259,6 +1259,39 @@ def q_docs_regex(sf_dir: str):
     )
 
 
+def q_embeddings_unnest(sf_dir: str):
+    """Explode the embedding list column (SQL unnest with ordinal):
+    one row per vector element, parent columns gathered with a single
+    Arrow take over repeated indices — the map-only long-format
+    reshape for per-dimension feature analysis."""
+    from raycdc.ops import unnest_list
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return unnest_list(emb, "embedding", out_col="x", index_col="dim")
+
+
+def q_user_cents_sequence(sf_dir: str):
+    """Typed sequence assembly round-trip: per-user cents arrays built
+    in (ts, event_id) order (array_agg — one row per user holding a
+    real list<int64>) then exploded back with ordinals. The oracle is
+    the row_number window — position-exact, so the list ORDER inside
+    the arrays is verified, not just membership."""
+    from raycdc.ops import grouped_array_agg, unnest_list
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]).append_column(
+            "cents", pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    arrays = grouped_array_agg(
+        ev, "user_id", "cents", order_cols=["ts", "event_id"]
+    )
+    return unnest_list(arrays, "vals", out_col="cents", index_col="i")
+
+
 def q_events_props_extract(sf_dir: str):
     """JSON metadata extraction over the events props column: the 'k'
     field pulled by the vectorized flat-JSON RE2 path (two C passes per
@@ -1682,6 +1715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "events_mode_type": q_events_mode_type,
         "events_props_extract": q_events_props_extract,
+        "embeddings_unnest": q_embeddings_unnest,
+        "user_cents_sequence": q_user_cents_sequence,
         "docs_regex": q_docs_regex,
         "q3_unshipped_orders": q3_unshipped_orders,
         "q6_revenue_delta": q6_revenue_delta,
@@ -2025,6 +2060,21 @@ def oracle_sql() -> dict[str, str]:
                    NULLIF(regexp_extract(text, '(\\d+)', 1), '') AS num,
                    regexp_replace(text, '\\d', '#', 'g') AS redacted
             FROM documents
+        """,
+        "embeddings_unnest": """
+            SELECT vec_id, unnest(embedding) AS x,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+            FROM embeddings
+        """,
+        "user_cents_sequence": """
+            WITH c AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT user_id, cents,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS BIGINT) - 1
+                     AS i
+            FROM c WHERE cents IS NOT NULL
         """,
         "events_props_extract": """
             SELECT event_id,

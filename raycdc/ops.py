@@ -2455,3 +2455,93 @@ def bloom_semi_filter(
     return ds.map_batches(
         Probe, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 4)
     )
+
+
+def unnest_list(
+    ds: ray.data.Dataset,
+    col: str,
+    out_col: str | None = None,
+    keep_cols: list[str] | None = None,
+    index_col: str | None = None,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Explode a ``list<T>`` column (SQL ``unnest``): one output row per
+    list element, parent columns repeated. Map-only, fully vectorized —
+    parent columns gather with ONE Arrow take over the repeated parent
+    indices (derived from the list offsets), elements are the list's
+    flat values array (zero-copy slice). NULL and empty lists emit no
+    rows (SQL unnest convention). ``index_col`` optionally emits the
+    0-based element ordinal."""
+    out_col = out_col or col
+
+    def fn(t: pa.Table) -> pa.Table:
+        lc = t.column(col).combine_chunks()
+        if isinstance(lc, pa.ChunkedArray):
+            lc = lc.combine_chunks()
+        # normalize null lists to empty so offsets are usable directly
+        lc = pc.if_else(pc.is_valid(lc), lc, pa.scalar([], lc.type))
+        lc = lc.combine_chunks() if isinstance(lc, pa.ChunkedArray) else lc
+        offs = np.asarray(lc.offsets, dtype=np.int64)
+        lens = offs[1:] - offs[:-1]
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        flat = lc.flatten()
+        keep = keep_cols if keep_cols is not None else [c for c in t.column_names if c != col]
+        cols = {c: t.column(c).take(pa.array(parent)) for c in keep}
+        cols[out_col] = flat
+        if index_col is not None:
+            idx = np.arange(len(parent), dtype=np.int64) - np.repeat(offs[:-1], lens)
+            cols[index_col] = pa.array(idx)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def grouped_array_agg(
+    ds: ray.data.Dataset,
+    key: str,
+    val_col: str,
+    order_cols: list[str],
+    out_col: str = "vals",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Ordered per-key ARRAY aggregation (SQL ``list(val ORDER BY ..)``
+    / ``array_agg``): each key becomes ONE row whose ``out_col`` is the
+    key's values as a real ``list<T>`` in ``order_cols`` order — the
+    typed counterpart of :func:`grouped_concat` for sequence-model
+    training examples. Same vectorized shape: one bounded bucket
+    shuffle, in-bucket sort, ``pa.ListArray.from_arrays`` over the key
+    run boundaries — no per-row Python. NULL values are skipped
+    (array_agg FILTER convention); all-null keys are dropped; NULL keys
+    form one group. Contract: one key's sequence fits a worker."""
+    from raycdc.util import bucket_of
+
+    sel = list(dict.fromkeys([key, val_col, *order_cols]))
+    order = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        t = t.select(sel)
+        t = t.filter(pc.is_valid(t.column(val_col)))
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=order)).combine_chunks()
+        n = g.num_rows
+        kcol = g.column(key)
+        vals = g.column(val_col).combine_chunks()
+        new_key = _run_boundaries(kcol, n)
+        starts = np.flatnonzero(new_key)
+        offsets = pa.array(np.r_[starts, n].astype(np.int32))
+        return pa.table(
+            {
+                key: kcol.take(pa.array(starts)),
+                out_col: pa.ListArray.from_arrays(offsets, vals),
+            }
+        )
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )

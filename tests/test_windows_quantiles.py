@@ -1126,3 +1126,57 @@ def test_bloom_semi_filter_no_false_negatives_and_low_fp():
         rd.from_arrow(rt), "k", how="semi",
     ).to_pandas()
     assert sorted(composed["v"]) == sorted(exact["v"])
+
+
+def test_unnest_list_matches_sql_unnest():
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "xs": pa.array([[10, 20], [], None, [30]], pa.list_(pa.int64())),
+            "tag": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    from raycdc.ops import unnest_list
+
+    out = unnest_list(
+        rd.from_arrow(t).repartition(2), "xs", out_col="x", index_col="i"
+    ).to_pandas().sort_values(["id", "i"]).reset_index(drop=True)
+    want = _duck(
+        t,
+        """
+        SELECT id, tag, unnest(xs) AS x,
+               generate_subscripts(xs, 1) - 1 AS i
+        FROM events
+        """,
+    ).to_pandas().sort_values(["id", "i"]).reset_index(drop=True)
+    assert out.shape[0] == want.shape[0] == 3
+    for c in ("id", "tag", "x", "i"):
+        assert (out[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_grouped_array_agg_matches_sql_list():
+    t = _events(n=1500, seed=1907, with_nulls=True)
+    from raycdc.ops import grouped_array_agg, unnest_list
+
+    out = grouped_array_agg(
+        rd.from_arrow(t).repartition(3), "user_id", "cents",
+        order_cols=["ts", "event_id"], num_buckets=8, batch_size=300,
+    )
+    # verify via round-trip: unnest the arrays and compare the flat rows
+    flat = unnest_list(out, "vals", out_col="cents", index_col="i").to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT user_id, cents,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT) - 1 AS i
+        FROM events WHERE cents IS NOT NULL
+        """,
+    ).to_pandas()
+    key = ["user_id", "i"]
+    got = flat.sort_values(key, na_position="last").reset_index(drop=True)
+    want = want.sort_values(key, na_position="last").reset_index(drop=True)
+    assert got.shape[0] == want.shape[0]
+    nn = got["user_id"].isna().to_numpy() & want["user_id"].isna().to_numpy()
+    assert ((got["user_id"].to_numpy() == want["user_id"].to_numpy()) | nn).all()
+    assert (got["cents"].to_numpy() == want["cents"].to_numpy()).all()
