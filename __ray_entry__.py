@@ -1259,6 +1259,18 @@ def q_docs_regex(sf_dir: str):
     )
 
 
+def q_docs_sentences(sf_dir: str):
+    """Sentence chunking reshape: each document splits on sentence
+    punctuation into one row per piece with its ordinal — one RE2 split
+    pass + the vectorized unnest gather; map-only, no shuffle."""
+    from raycdc.extras.text import split_to_rows
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return split_to_rows(docs, "text", r"[.!?]\s+", out_col="sentence")
+
+
 def q_embeddings_unnest(sf_dir: str):
     """Explode the embedding list column (SQL unnest with ordinal):
     one row per vector element, parent columns gathered with a single
@@ -1716,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_type": q_events_mode_type,
         "events_props_extract": q_events_props_extract,
         "embeddings_unnest": q_embeddings_unnest,
+        "docs_sentences": q_docs_sentences,
         "user_cents_sequence": q_user_cents_sequence,
         "docs_regex": q_docs_regex,
         "q3_unshipped_orders": q3_unshipped_orders,
@@ -2060,6 +2073,14 @@ def oracle_sql() -> dict[str, str]:
                    NULLIF(regexp_extract(text, '(\\d+)', 1), '') AS num,
                    regexp_replace(text, '\\d', '#', 'g') AS redacted
             FROM documents
+        """,
+        "docs_sentences": """
+            WITH a AS (SELECT doc_id,
+                              regexp_split_to_array(text, '[.!?]\\s+') AS xs
+                       FROM documents)
+            SELECT doc_id, unnest(xs) AS sentence,
+                   CAST(generate_subscripts(xs, 1) - 1 AS BIGINT) AS part_no
+            FROM a
         """,
         "embeddings_unnest": """
             SELECT vec_id, unnest(embedding) AS x,

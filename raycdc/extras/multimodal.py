@@ -84,10 +84,53 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return pix.reshape(h, w, 3)
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BMP encoder — (h, w, 3) uint8 RGB → bytes.
+    Pure numpy: rows are bottom-up, BGR, padded to 4-byte multiples
+    (the Windows BITMAPINFOHEADER format — the second public format the
+    container can handle without an image library)."""
+    import struct
+
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    row_len = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_len), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + data
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP decoder — bytes → (h, w, 3) uint8 RGB.
+    Raises ValueError on malformed/unsupported input (routes to the
+    failure path). Handles bottom-up and top-down rows."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", data, 26)
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    row_len = (w * 3 + 3) & ~3
+    if len(data) < off + row_len * h:
+        raise ValueError("truncated BMP payload")
+    body = np.frombuffer(data, dtype=np.uint8, count=row_len * h, offset=off)
+    rows = body.reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR → RGB
+    return (rgb[::-1] if flip else rgb).copy()
+
+
 # codec name (meta.codec) -> bytes → ndarray decoder. Extend via
 # register_decoder — e.g. register_decoder("jpeg", PIL_based_fn) where
 # image libraries exist.
-DECODERS: dict = {"ppm": decode_ppm}
+DECODERS: dict = {"ppm": decode_ppm, "bmp": decode_bmp}
 
 
 def register_decoder(codec: str, fn) -> None:
@@ -105,9 +148,10 @@ def _no_decoder(codec: str):
 def attach_fake_media(ds: ray.data.Dataset, id_col: str = "doc_id", kind: str = "image",
                       payload_bytes: int = 512, codec: str = "fake") -> ray.data.Dataset:
     """Deterministically synthesize a media column from row ids (test/
-    bench substrate for the decode stages). ``codec="ppm"`` emits REAL
-    binary-PPM payloads (decodable by the registry); the default
-    ``"fake"`` emits opaque hash bytes (plumbing-only path)."""
+    bench substrate for the decode stages). ``codec="ppm"`` /
+    ``codec="bmp"`` emit REAL payloads in those formats (decodable by
+    the registry); the default ``"fake"`` emits opaque hash bytes
+    (plumbing-only path)."""
 
     def gen(t: pa.Table) -> pa.Table:
         ids = [str(v) for v in t[id_col].to_pylist()]
@@ -115,9 +159,10 @@ def attach_fake_media(ds: ray.data.Dataset, id_col: str = "doc_id", kind: str = 
         for i in ids:
             seed = hashlib.md5(i.encode()).digest()
             w, h = 16 + seed[0] % 64, 16 + seed[1] % 64
-            if codec == "ppm":
+            if codec in ("ppm", "bmp"):
                 rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
-                payloads.append(encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+                enc = encode_ppm if codec == "ppm" else encode_bmp
+                payloads.append(enc(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
             else:
                 reps = payload_bytes // len(seed) + 1
                 payloads.append((seed * reps)[:payload_bytes])
@@ -204,13 +249,14 @@ class ResizeImage:
 
     def _real_resize(self, payload: bytes, codec: str) -> bytes:
         dec = self.decoders.get(codec)
-        if dec is None or codec != "ppm":
+        enc = {"ppm": encode_ppm, "bmp": encode_bmp}.get(codec)
+        if dec is None or enc is None:
             raise _no_decoder(codec)
         pix = dec(bytes(payload))
         h, w = pix.shape[:2]
         yi = (np.arange(self.height) * h // self.height).clip(0, h - 1)
         xi = (np.arange(self.width) * w // self.width).clip(0, w - 1)
-        return encode_ppm(pix[yi][:, xi])
+        return enc(pix[yi][:, xi])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

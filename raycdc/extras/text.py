@@ -320,3 +320,32 @@ def json_extract_scalar(
     return ds.map_batches(
         fast if mode == "re2" else exact, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def split_to_rows(
+    ds: "ray.data.Dataset",
+    col: str,
+    pattern: str,
+    out_col: str = "part",
+    index_col: str | None = "part_no",
+    keep_cols: list[str] | None = None,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Split a string column on a regex and emit one row per piece with
+    its 0-based ordinal (SQL ``unnest(regexp_split_to_array(col, pat))
+    WITH ORDINALITY``) — the sentence/paragraph chunking reshape. One
+    RE2 ``pc.split_pattern_regex`` C pass builds the list column; the
+    explode is :func:`raycdc.ops.unnest_list`'s vectorized offset
+    gather. NULL inputs emit no rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raycdc.ops import unnest_list
+
+    def split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern_regex(t.column(col).cast(pa.string()), pattern=pattern)
+        keep = keep_cols if keep_cols is not None else [c for c in t.column_names if c != col]
+        return t.select(keep).append_column("_parts", parts)
+
+    lists = ds.map_batches(split, batch_format="pyarrow", batch_size=batch_size)
+    return unnest_list(lists, "_parts", out_col=out_col, index_col=index_col)

@@ -607,3 +607,72 @@ def test_json_extract_scalar_modes_match():
         a = out["v"].fillna("\0").to_numpy()
         b = want["v"].fillna("\0").to_numpy()
         assert (a == b).all(), (mode, list(zip(rows, a, b))[:6])
+
+
+def test_split_to_rows_matches_duckdb():
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycdc.extras.text import split_to_rows
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "s": pa.array(["a. b! c", "one", None, ""]),
+        }
+    )
+    out = split_to_rows(
+        rd.from_arrow(t).repartition(2), "s", r"[.!?]\s*"
+    ).to_pandas().sort_values(["id", "part_no"]).reset_index(drop=True)
+    want = duckdb.connect().execute(
+        r"""
+        WITH a AS (SELECT id, regexp_split_to_array(s, '[.!?]\s*') AS xs FROM t)
+        SELECT id, unnest(xs) AS part,
+               CAST(generate_subscripts(xs, 1) - 1 AS BIGINT) AS part_no
+        FROM a ORDER BY id, part_no
+        """
+    ).df()
+    assert out.shape == want.shape
+    for c in ("id", "part", "part_no"):
+        assert (out[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_multimodal_real_bmp_roundtrip_and_resize():
+    """Second real codec: uncompressed 24-bit BMP — encode → registry
+    decode round-trip (incl. bottom-up/BGR/row padding), features
+    through the actor pool, and a real resize that re-encodes BMP."""
+    import numpy as np
+
+    from raycdc.extras.multimodal import (
+        DecodeImage,
+        ResizeImage,
+        attach_fake_media,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(12, 9, 3), (7, 16, 3), (1, 1, 3)]:  # odd widths: padding
+        pix = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(pix)) == pix).all(), shape
+    with pytest.raises(ValueError, match="BMP"):
+        decode_bmp(b"nonsense")
+
+    docs = rd.from_arrow(
+        doc_table().slice(0, 4).append_column("did", pa.array([f"d{i}" for i in range(4)]))
+    )
+    media = attach_fake_media(docs, id_col="did", codec="bmp")
+    feats = collect(
+        media.map_batches(DecodeImage, fn_constructor_kwargs={"real": True},
+                          batch_format="pyarrow", batch_size=2, concurrency=2)
+    )
+    assert feats.num_rows == 4
+    v = feats["features"].to_pylist()
+    assert len(v[0]) == 8 and 0.3 < v[0][0] < 0.7  # uniform pixels → mean ≈ 0.5
+
+    resized = ResizeImage(width=20, height=10, real=True)(
+        collect(attach_fake_media(docs, id_col="did", codec="bmp"))
+    )
+    for p in resized["payload"].to_pylist():
+        assert decode_bmp(bytes(p)).shape == (10, 20, 3)
