@@ -1716,6 +1716,7 @@ def grouped_rank(
     dense_col: str | None = "drnk",
     pr_col: str | None = None,
     cd_col: str | None = None,
+    descending: list[bool] | None = None,
     num_buckets: int = 64,
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
@@ -1726,8 +1727,10 @@ def grouped_rank(
     deterministic); RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST ties are
     decided by ``tie_cols`` (default: all of ``order_cols`` — give a
     PREFIX when the tail is only a row_number tiebreaker, exactly SQL's
-    two different ORDER BY lists). Any output column can be disabled
-    with None. Float finalize order is fixed for SQL-oracle bit parity:
+    two different ORDER BY lists). ``descending`` flags each order
+    column's direction (default all ascending; nulls sort last either
+    way, DuckDB's default). Any output column can be disabled with
+    None. Float finalize order is fixed for SQL-oracle bit parity:
     percent_rank = (rank - 1) / (n_key - 1) (0.0 when n_key = 1);
     cume_dist = n_at_or_before_tie / n_key.
 
@@ -1740,7 +1743,12 @@ def grouped_rank(
     tie_cols = list(order_cols) if tie_cols is None else list(tie_cols)
     if not set(tie_cols) <= set(order_cols):
         raise ValueError("tie_cols must be a subset of order_cols")
-    order = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+    desc = [False] * len(order_cols) if descending is None else list(descending)
+    if len(desc) != len(order_cols):
+        raise ValueError("descending must match order_cols length")
+    order = [(key, "ascending")] + [
+        (c, "descending" if d else "ascending") for c, d in zip(order_cols, desc)
+    ]
 
     def stamp(t: pa.Table) -> pa.Table:
         return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))

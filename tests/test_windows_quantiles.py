@@ -1180,3 +1180,31 @@ def test_grouped_array_agg_matches_sql_list():
     nn = got["user_id"].isna().to_numpy() & want["user_id"].isna().to_numpy()
     assert ((got["user_id"].to_numpy() == want["user_id"].to_numpy()) | nn).all()
     assert (got["cents"].to_numpy() == want["cents"].to_numpy()).all()
+
+
+def test_grouped_rank_descending_matches_sql():
+    t = _events(n=2000, seed=2003)
+    t = t.append_column("coarse", pc.multiply(pc.divide(t["cents"], 2000), 2000))
+    from raycdc.ops import grouped_rank
+
+    out = grouped_rank(
+        rd.from_arrow(t).repartition(4), "user_id",
+        order_cols=["coarse", "event_id"], tie_cols=["coarse"],
+        descending=[True, False], pr_col="pr", num_buckets=8, batch_size=300,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY coarse DESC, event_id) AS rn,
+               rank()       OVER (PARTITION BY user_id ORDER BY coarse DESC) AS rnk,
+               dense_rank() OVER (PARTITION BY user_id ORDER BY coarse DESC) AS drnk,
+               percent_rank() OVER (PARTITION BY user_id ORDER BY coarse DESC) AS pr
+        FROM events
+        """,
+    ).to_pandas()
+    got = out.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    for c in ("rn", "rnk", "drnk", "pr"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
