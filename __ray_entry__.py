@@ -1625,6 +1625,36 @@ def q_events_rolling_stats(sf_dir: str):
     )
 
 
+def q_events_range_window(sf_dir: str):
+    """Per-user trailing-1-hour exposure (SQL RANGE frame): each
+    event's sum/count of its user's cents within the preceding hour —
+    tied timestamps share one frame, the semantics a ROWS frame can't
+    express. Window starts come from one vectorized searchsorted over
+    a key-lifted time axis; the kernels are cumsum differences."""
+    from raycdc.ops import grouped_range_rolling
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "us": t["ts"].cast(pa.int64()),
+                "cents": pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_range_rolling(
+        ev, "user_id", "us",
+        specs={"hr_sum": ("cents", "sum"), "hr_n": ("cents", "count")},
+        range_delta=3_600_000_000,
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "hr_sum", "hr_n"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_docs_outlier_filter(sf_dir: str):
     """Composed curation cut: per-language p99 document length via
     grouped_quantile (exact, tiny result), broadcast back, keep docs at
@@ -1716,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": q_events_running_total,
         "events_rolling_sum": q_events_rolling_sum,
         "events_rolling_stats": q_events_rolling_stats,
+        "events_range_window": q_events_range_window,
         "orders_rollup": q_orders_rollup,
         "events_orders_full": q_events_orders_full,
         "lineitem_cube": q_lineitem_cube,
@@ -2003,6 +2034,18 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS running_cents
             FROM c
+        """,
+        "events_range_window": """
+            WITH c AS (SELECT event_id, user_id,
+                              epoch_us(ts) AS us,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events WHERE ts IS NOT NULL)
+            SELECT event_id, user_id,
+                   CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS hr_sum,
+                   CAST(count(cents) OVER w AS BIGINT) AS hr_n
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         """,
         "events_rolling_stats": """
             WITH c AS (SELECT event_id, user_id, ts,

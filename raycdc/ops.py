@@ -2553,3 +2553,96 @@ def grouped_array_agg(
         .groupby("_bucket")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def grouped_range_rolling(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    specs: dict[str, tuple[str, str]],
+    range_delta: int,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key RANGE-frame rolling aggregates over a numeric/time order
+    column (SQL ``agg(val) OVER (PARTITION BY key ORDER BY ts RANGE
+    BETWEEN range_delta PRECEDING AND CURRENT ROW)``): the window is
+    every row of the key whose ``ts`` lies in ``[ts_i - range_delta,
+    ts_i]`` — the time-interval window ROWS frames can't express (ties
+    in ``ts`` share one frame, exactly SQL RANGE semantics). ``specs``:
+    out -> (val_col, kernel), kernel ∈ ``sum | count | mean`` (mean =
+    ``CAST(sum AS DOUBLE)/count`` in that fixed order — mirror the SQL
+    expression, not a windowed avg()).
+
+    Shape: one bounded bucket shuffle; in-bucket the per-row window
+    START indices come from ONE vectorized ``np.searchsorted`` over a
+    key-lifted timestamp axis (each key run shifted onto its own
+    disjoint segment of the int64 line), then every kernel is a cumsum
+    difference. NULL ``ts`` rows are dropped (SQL: they'd form an
+    unordered peer group); NULL values add zero / don't count."""
+    if range_delta < 0:
+        raise ValueError("range_delta must be >= 0")
+    for out, (c, kern) in specs.items():
+        if kern not in ("sum", "count", "mean"):
+            raise ValueError(f"unsupported range-rolling kernel {kern!r}")
+    from raycdc.util import bucket_of
+
+    order = [(key, "ascending"), (ts_col, "ascending")]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(ts_col)))
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=order)).combine_chunks()
+        n = g.num_rows
+        if n == 0:
+            cols = {c: g.column(c) for c in g.column_names}
+            for out in specs:
+                cols[out] = pa.array([], pa.int64())
+            return pa.table(cols)
+        ts = np.asarray(g.column(ts_col).cast(pa.int64()))
+        new_key = _run_boundaries(g.column(key), n)
+        run_id = (np.cumsum(new_key) - 1).astype(np.int64)
+        span = int(ts.max()) - int(ts.min()) + range_delta + 2
+        if (run_id[-1] + 1) * span > 2**62:
+            raise ValueError("key runs × ts span overflow the lifted axis; "
+                             "raise num_buckets or narrow the ts domain")
+        lifted = ts - int(ts.min()) + run_id * span
+        lo = np.searchsorted(lifted, lifted - range_delta, side="left")
+        # ties at ts_i: SQL RANGE frames END at the last peer, too
+        hi = np.searchsorted(lifted, lifted, side="right")
+
+        def wsum(arr: np.ndarray) -> np.ndarray:
+            c0 = np.concatenate([[0], np.cumsum(arr)])
+            return c0[hi] - c0[lo]
+
+        cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def sums_counts(col: str):
+            if col not in cache:
+                a = g.column(col).cast(pa.int64())
+                cache[col] = (
+                    wsum(np.asarray(a.fill_null(0))),
+                    wsum(np.asarray(pc.is_valid(a), dtype=np.int64)),
+                )
+            return cache[col]
+
+        for out, (col, kern) in specs.items():
+            s, c = sums_counts(col)
+            if kern == "sum":
+                g = g.append_column(out, pa.array(s.astype(np.int64)))
+            elif kern == "count":
+                g = g.append_column(out, pa.array(c.astype(np.int64)))
+            else:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    m = s.astype(np.float64) / c
+                g = g.append_column(out, pa.array(m, pa.float64(), mask=c == 0))
+        return g
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )

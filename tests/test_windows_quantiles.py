@@ -1208,3 +1208,47 @@ def test_grouped_rank_descending_matches_sql():
     want = want.sort_values("event_id").reset_index(drop=True)
     for c in ("rn", "rnk", "drnk", "pr"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_grouped_range_rolling_matches_sql_range_frame():
+    t = _events(n=2500, seed=2111, with_nulls=True)
+    # duplicate some timestamps so RANGE-peer semantics actually bite
+    ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).copy()
+    ts[1::7] = ts[0::7][: len(ts[1::7])]
+    t = t.set_column(2, "ts", pa.array(ts).cast(pa.timestamp("us")))
+    from raycdc.ops import grouped_range_rolling
+
+    delta_us = 3_600_000_000  # 1h
+    # ts as integer microseconds (RANGE frames need a numeric ORDER BY)
+    t2 = t.append_column("us", pc.cast(t["ts"], pa.int64()))
+    out = grouped_range_rolling(
+        rd.from_arrow(t2).repartition(4), "user_id", "us",
+        specs={"rsum": ("cents", "sum"), "rcnt": ("cents", "count"),
+               "rmean": ("cents", "mean")},
+        range_delta=delta_us, num_buckets=8, batch_size=350,
+    ).to_pandas()
+    want = _duck(
+        t2,
+        f"""
+        SELECT event_id,
+               CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS rsum,
+               CAST(count(cents) OVER w AS BIGINT) AS rcnt,
+               CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w AS rmean
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN {delta_us} PRECEDING AND CURRENT ROW)
+        """,
+    ).to_pandas()
+    # engine drops NULL-ts rows; oracle keeps them — align on shared rows
+    got = out.sort_values("event_id").reset_index(drop=True)
+    want = want[want["event_id"].isin(set(got["event_id"]))].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    assert got.shape[0] == want.shape[0]
+    for c in ("rsum", "rcnt", "rmean"):
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            nn = np.isnan(a.astype(float)) & np.isnan(b.astype(float))
+            assert ((a == b) | nn).all(), c
+        else:
+            assert (a == b).all(), c
