@@ -1242,6 +1242,32 @@ def q_lineitem_unpivot(sf_dir: str):
     )
 
 
+def q_docs_histogram(sf_dir: str):
+    """Per-language document-length distribution: equi-width histogram
+    (20 bins over [0, 2000), edges clamped) via the combiner groupby —
+    at most bins×langs partial rows per batch ever shuffle."""
+    from raycdc.ops import histogram_agg
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+    return histogram_agg(docs, "n_chars", lo=0, hi=2000, nbins=20, key="lang")
+
+
+def q_docs_profile(sf_dir: str):
+    """Dataset profiling audit: per-column row/null counts, native-typed
+    min/max (stringified at the end — a string fold would compare
+    '100' < '99'), and exact distinct counts via the pair-dedup
+    combiner."""
+    from raycdc.ops import profile_columns
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return profile_columns(docs, ["doc_id", "lang", "n_chars"])
+
+
 def q_docs_regex(sf_dir: str):
     """Vectorized regex feature extraction + PII-style redaction over
     the corpus: first number token captured per doc, all digits masked
@@ -1762,6 +1788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sentences": q_docs_sentences,
         "user_cents_sequence": q_user_cents_sequence,
         "docs_regex": q_docs_regex,
+        "docs_histogram": q_docs_histogram,
+        "docs_profile": q_docs_profile,
         "q3_unshipped_orders": q3_unshipped_orders,
         "q6_revenue_delta": q6_revenue_delta,
         "q12_priority_by_flag": q12_priority_by_flag,
@@ -2110,6 +2138,32 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1995-01-01'
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        "docs_histogram": """
+            WITH b AS (SELECT lang,
+                              least(19, greatest(0,
+                                (n_chars - 0) * 20 // (2000 - 0))) AS bin
+                       FROM documents WHERE n_chars IS NOT NULL)
+            SELECT lang, bin, CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY lang, bin
+        """,
+        "docs_profile": """
+            SELECT 'doc_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_null,
+                   CAST(min(doc_id) AS VARCHAR) AS min,
+                   CAST(max(doc_id) AS VARCHAR) AS max,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*),
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   min(lang), max(lang), count(DISTINCT lang) FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*),
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+                   count(DISTINCT n_chars) FROM documents
         """,
         "docs_regex": """
             SELECT doc_id,

@@ -2646,3 +2646,139 @@ def grouped_range_rolling(
         .groupby("_bucket")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def histogram_agg(
+    ds: ray.data.Dataset,
+    col: str,
+    lo: int,
+    hi: int,
+    nbins: int,
+    key: str | list[str] | None = None,
+    bin_col: str = "bin",
+    n_col: str = "n",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Equi-width histogram (optionally per group): counts of ``col``
+    values per bin over ``[lo, hi)``, out-of-range values clamped into
+    the edge bins, NULLs dropped — the data-profiling / distribution-
+    audit primitive. Integer bin math (``(v - lo) * nbins // (hi -
+    lo)``, floor division — mirror the SQL expression exactly).
+
+    Shape: the combiner groupby — per batch at most ``nbins`` (×
+    groups) partial rows leave; the shuffle is bin-cardinality-sized,
+    never row-sized. Empty bins are absent (SQL GROUP BY semantics;
+    densify downstream if needed)."""
+    if not (hi > lo and nbins > 0):
+        raise ValueError("need hi > lo and nbins > 0")
+    keys = [] if key is None else ([key] if isinstance(key, str) else list(key))
+    width = hi - lo
+
+    def stamp(t: pa.Table) -> pa.Table:
+        v = t.column(col).cast(pa.int64())
+        mask = pc.is_valid(v)
+        t = t.filter(mask)
+        v = np.asarray(t.column(col).cast(pa.int64()))
+        b = np.clip((v - lo) * nbins // width, 0, nbins - 1)
+        cols = {k: t.column(k) for k in keys}
+        cols[bin_col] = pa.array(b.astype(np.int64))
+        return pa.table(cols) if keys else pa.table({bin_col: cols[bin_col]})
+
+    binned = ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+    return partial_groupby_agg(
+        binned, [*keys, bin_col], {n_col: (bin_col, "count")}, batch_size=batch_size
+    )
+
+
+def profile_columns(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    approx_distinct: bool = False,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Dataset profiling: one row per column with ``n_rows``,
+    ``n_null``, ``n_distinct`` and stringified ``min`` / ``max`` — the
+    pre-training data-audit summary.
+
+    Shape: n/null/min/max fold as ONE combiner groupby over per-batch
+    partials (constant key per column — bin-cardinality shuffle).
+    Distinct is exact via a per-batch-deduped value shuffle per column
+    (the grouped_nunique pattern; set ``approx_distinct=True`` to use
+    the HyperLogLog path when values-per-batch is too wide). min/max
+    compare in the column's own type, then stringify for the unified
+    schema."""
+    parts = []
+    for c in cols:
+        def stamp(t: pa.Table, c=c) -> pa.Table:
+            v = t.column(c)
+            valid = v.filter(pc.is_valid(v))
+            # min/max stay NATIVE-typed through the fold (stringified
+            # per-batch minima would compare lexicographically: "100" < "99")
+            mn = pc.min(valid) if len(valid) else pa.scalar(None, v.type)
+            mx = pc.max(valid) if len(valid) else pa.scalar(None, v.type)
+            return pa.table(
+                {
+                    "column": pa.array([c]),
+                    "n_rows": pa.array([t.num_rows], pa.int64()),
+                    "n_null": pa.array([t.num_rows - len(valid)], pa.int64()),
+                    "min": pa.array([mn.as_py()], v.type),
+                    "max": pa.array([mx.as_py()], v.type),
+                }
+            )
+
+        def stringify(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "column": t["column"],
+                    "n_rows": t["n_rows"],
+                    "n_null": t["n_null"],
+                    "min": pa.array(
+                        [None if v is None else str(v) for v in t["min"].to_pylist()],
+                        pa.string(),
+                    ),
+                    "max": pa.array(
+                        [None if v is None else str(v) for v in t["max"].to_pylist()],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        stats = partial_groupby_agg(
+            ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size),
+            "column",
+            {
+                "n_rows": ("n_rows", "sum"),
+                "n_null": ("n_null", "sum"),
+                "min": ("min", "min"),
+                "max": ("max", "max"),
+            },
+            batch_size=batch_size,
+        ).map_batches(stringify, batch_format="pyarrow")
+
+        if approx_distinct:
+            nd = grouped_nunique_approx(
+                ds.map_batches(
+                    lambda t, c=c: pa.table(
+                        {"column": pa.array(np.full(t.num_rows, c, object), pa.string()),
+                         "_v": t.column(c).cast(pa.string())}
+                    ),
+                    batch_format="pyarrow", batch_size=batch_size,
+                ),
+                "column", "_v", out_col="n_distinct",
+            )
+        else:
+            nd = grouped_nunique(
+                ds.map_batches(
+                    lambda t, c=c: pa.table(
+                        {"column": pa.array(np.full(t.num_rows, c, object), pa.string()),
+                         "_v": t.column(c).cast(pa.string())}
+                    ),
+                    batch_format="pyarrow", batch_size=batch_size,
+                ),
+                "column", "_v", out_col="n_distinct",
+            )
+        parts.append(hash_join(stats, nd, "column", how="left"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

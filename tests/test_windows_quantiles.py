@@ -1252,3 +1252,63 @@ def test_grouped_range_rolling_matches_sql_range_frame():
             assert ((a == b) | nn).all(), c
         else:
             assert (a == b).all(), c
+
+
+def test_histogram_agg_matches_sql_floor_binning():
+    t = _events(n=4000, seed=2203, with_nulls=True)
+    from raycdc.ops import histogram_agg
+
+    out = histogram_agg(
+        rd.from_arrow(t).repartition(5), "cents", lo=0, hi=50_000, nbins=20,
+        key="etype", batch_size=400,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        WITH b AS (SELECT etype,
+                          least(19, greatest(0,
+                            (cents - 0) * 20 // (50000 - 0))) AS bin
+                   FROM events WHERE cents IS NOT NULL)
+        SELECT etype, bin, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY etype, bin
+        """,
+    ).to_pandas()
+    key = ["etype", "bin"]
+    got = out.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.shape == want.shape
+    for c in ("etype", "bin", "n"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_profile_columns_matches_sql_profile():
+    t = _events(n=3000, seed=2309, with_nulls=True)
+    from raycdc.ops import profile_columns
+
+    out = profile_columns(
+        rd.from_arrow(t).repartition(4), ["user_id", "etype", "cents"]
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        SELECT 'user_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(min(user_id) AS VARCHAR) AS min, CAST(max(user_id) AS VARCHAR) AS max,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events
+        UNION ALL
+        SELECT 'etype', count(*),
+               CAST(sum(CASE WHEN etype IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               min(etype), max(etype), count(DISTINCT etype) FROM events
+        UNION ALL
+        SELECT 'cents', count(*),
+               CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR),
+               count(DISTINCT cents) FROM events
+        """,
+    ).to_pandas()
+    got = out.sort_values("column").reset_index(drop=True)
+    want = want.sort_values("column").reset_index(drop=True)
+    assert got.shape == want.shape
+    for c in ("column", "n_rows", "n_null", "min", "max", "n_distinct"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), (c, got, want)
