@@ -1681,6 +1681,28 @@ def q_events_range_window(sf_dir: str):
     )
 
 
+def q_events_zscore(sf_dir: str):
+    """Per-user z-score standardization of event cents — the feature
+    normalization transform, one bucket shuffle with in-bucket
+    vectorized groupby-transform; the fixed float64 expression tree
+    makes the doubles bit-identical to the exact-int-sums SQL oracle."""
+    from raycdc.ops import grouped_zscore
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "cents": pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_zscore(ev, "user_id", "cents").map_batches(
+        lambda t: t.select(["event_id", "user_id", "z"]), batch_format="pyarrow"
+    )
+
+
 def q_docs_outlier_filter(sf_dir: str):
     """Composed curation cut: per-language p99 document length via
     grouped_quantile (exact, tiny result), broadcast back, keep docs at
@@ -1773,6 +1795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_sum": q_events_rolling_sum,
         "events_rolling_stats": q_events_rolling_stats,
         "events_range_window": q_events_range_window,
+        "events_zscore": q_events_zscore,
         "orders_rollup": q_orders_rollup,
         "events_orders_full": q_events_orders_full,
         "lineitem_cube": q_lineitem_cube,
@@ -2062,6 +2085,22 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS running_cents
             FROM c
+        """,
+        "events_zscore": """
+            WITH c AS (SELECT event_id, user_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+                 s AS (SELECT user_id,
+                              CAST(count(cents) AS DOUBLE) AS n,
+                              CAST(sum(cents) AS DOUBLE) AS s,
+                              CAST(sum(cents * cents) AS DOUBLE) AS q
+                       FROM c GROUP BY user_id)
+            SELECT event_id, c.user_id,
+                   CASE WHEN cents IS NULL OR (q - s * (s / n)) / n <= 0
+                        THEN NULL
+                        ELSE (cents - s / n) / sqrt((q - s * (s / n)) / n)
+                   END AS z
+            FROM c LEFT JOIN s ON s.user_id IS NOT DISTINCT FROM c.user_id
         """,
         "events_range_window": """
             WITH c AS (SELECT event_id, user_id,

@@ -2782,3 +2782,62 @@ def profile_columns(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def grouped_zscore(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    out_col: str = "z",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-group z-score standardization: ``z = (x - mean) / std_pop``
+    within each key — the feature-normalization transform. Fixed
+    float64 expression tree for SQL-oracle bit parity on exact-integer
+    inputs (same discipline as :func:`moment_agg`):
+
+        mean = s / n ;  z = (x - s / n) / sqrt((q - s * (s / n)) / n)
+
+    NULL when the group's variance is 0 or x is NULL. Shape: ONE
+    bounded hash-bucket shuffle on ``key``, then an in-bucket
+    vectorized groupby-transform (run-boundary sums broadcast back with
+    ``np.repeat`` — no driver dict, works at any key cardinality).
+    NULL keys form one group; NULL values don't contribute to the
+    moments."""
+    from raycdc.util import bucket_of
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[(key, "ascending")])
+        ).combine_chunks()
+        n = g.num_rows
+        new_key = _run_boundaries(g.column(key), n)
+        starts = np.flatnonzero(new_key)
+        lens = np.r_[starts[1:], n] - starts
+        a = g.column(col).cast(pa.float64())
+        x = np.asarray(a.fill_null(0.0))
+        valid = np.asarray(pc.is_valid(a), dtype=np.float64)
+        xv = x * valid
+        c0 = np.concatenate([[0.0], np.cumsum(xv)])
+        q0 = np.concatenate([[0.0], np.cumsum(xv * xv)])
+        v0 = np.concatenate([[0.0], np.cumsum(valid)])
+        ends = np.r_[starts[1:], n]
+        s = np.repeat(c0[ends] - c0[starts], lens)
+        q = np.repeat(q0[ends] - q0[starts], lens)
+        nn = np.repeat(v0[ends] - v0[starts], lens)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = (q - s * (s / nn)) / nn
+            z = (x - s / nn) / np.sqrt(var)
+        bad = ~(np.asarray(pc.is_valid(a))) | (nn == 0) | ~(var > 0)
+        return g.append_column(out_col, pa.array(z, pa.float64(), mask=bad))
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )

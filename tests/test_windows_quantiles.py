@@ -1312,3 +1312,39 @@ def test_profile_columns_matches_sql_profile():
     assert got.shape == want.shape
     for c in ("column", "n_rows", "n_null", "min", "max", "n_distinct"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), (c, got, want)
+
+
+def test_grouped_zscore_matches_sql_bitwise():
+    t = _events(n=3000, seed=2411, with_nulls=True)
+    from raycdc.ops import grouped_zscore
+
+    out = grouped_zscore(
+        rd.from_arrow(t).repartition(4), "user_id", "cents",
+        num_buckets=8, batch_size=350,
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        WITH c AS (SELECT event_id, user_id, cents FROM events),
+             s AS (SELECT user_id,
+                          CAST(count(cents) AS DOUBLE) AS n,
+                          CAST(sum(cents) AS DOUBLE) AS s,
+                          CAST(sum(cents * cents) AS DOUBLE) AS q
+                   FROM c GROUP BY user_id)
+        SELECT event_id,
+               CASE WHEN cents IS NULL OR (q - s * (s / n)) / n <= 0 THEN NULL
+                    ELSE (cents - s / n) / sqrt((q - s * (s / n)) / n)
+               END AS z
+        FROM c LEFT JOIN s ON s.user_id IS NOT DISTINCT FROM c.user_id
+        """,
+    ).to_pandas()
+    got = out[["event_id", "z"]].sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    a, b = got["z"].to_numpy(), want["z"].to_numpy()
+    nn = np.isnan(a) & np.isnan(b)
+    assert ((a == b) | nn).all()  # bit-exact
+
+    # zero-variance group -> NULL
+    t1 = pa.table({"k": pa.array([1, 1], pa.int64()), "v": pa.array([7, 7], pa.int64())})
+    o1 = grouped_zscore(rd.from_arrow(t1), "k", "v").to_pandas()
+    assert o1["z"].isna().all()
