@@ -1681,6 +1681,27 @@ def q_events_range_window(sf_dir: str):
     )
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered conversion funnel per user (the windowFunnel shape):
+    greedy-earliest chain through event types, each key folded with
+    len(steps) vectorized masked per-run minima in one bucket shuffle.
+    The SQL mirror is the equivalent chain of min-ts CTEs."""
+    from raycdc.ops import funnel_steps
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "us": t["ts"].cast(pa.int64()),
+                "event_type": t["event_type"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    types = ["view", "click", "purchase"]
+    return funnel_steps(ev, "user_id", "us", "event_type", steps=types)
+
+
 def q_events_zscore(sf_dir: str):
     """Per-user z-score standardization of event cents — the feature
     normalization transform, one bucket shuffle with in-bucket
@@ -1796,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_stats": q_events_rolling_stats,
         "events_range_window": q_events_range_window,
         "events_zscore": q_events_zscore,
+        "events_funnel": q_events_funnel,
         "orders_rollup": q_orders_rollup,
         "events_orders_full": q_events_orders_full,
         "lineitem_cube": q_lineitem_cube,
@@ -2085,6 +2107,29 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS running_cents
             FROM c
+        """,
+        "events_funnel": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+                       FROM events WHERE ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            t1 AS (SELECT user_id, min(us) AS ts1 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.us) AS ts2
+                   FROM e JOIN t1 USING (user_id)
+                   WHERE event_type = 'click' AND e.us > ts1
+                   GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.us) AS ts3
+                   FROM e JOIN t2 USING (user_id)
+                   WHERE event_type = 'purchase' AND e.us > ts2
+                   GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN ts3 IS NOT NULL THEN 3
+                             WHEN ts2 IS NOT NULL THEN 2
+                             WHEN ts1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS steps_reached
+            FROM (SELECT DISTINCT user_id FROM e) u
+            LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+            LEFT JOIN t3 USING (user_id)
         """,
         "events_zscore": """
             WITH c AS (SELECT event_id, user_id,

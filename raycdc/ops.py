@@ -2841,3 +2841,80 @@ def grouped_zscore(
         .groupby("_bucket")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def funnel_steps(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    steps: list,
+    window: int | None = None,
+    out_col: str = "steps_reached",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Ordered event-funnel analysis (the ClickHouse ``windowFunnel``
+    shape): for each key, how many of ``steps`` completed IN ORDER —
+    greedy from the EARLIEST step-1 event, each next step the earliest
+    strictly-later match, the whole chain within ``window`` of step 1
+    when given (timestamps as int64, e.g. epoch µs). Emits one row per
+    key with ``out_col`` ∈ [0, len(steps)].
+
+    Shape: ONE bounded bucket shuffle on ``key``; in-bucket each step
+    is a vectorized masked per-run minimum (+inf-masked ``np.minimum``
+    fold via ``np.minimum.reduceat``) — len(steps) O(n) passes, no
+    per-key Python. Greedy-earliest is deterministic and exactly
+    SQL-expressible as a chain of min-ts CTEs. NULL keys form one
+    group; NULL ts/type rows are ignored."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    from raycdc.util import bucket_of
+
+    def stamp(t: pa.Table) -> pa.Table:
+        t = t.select([key, ts_col, type_col])
+        t = t.filter(pc.and_(pc.is_valid(t.column(ts_col)), pc.is_valid(t.column(type_col))))
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending")])).combine_chunks()
+        n = g.num_rows
+        if n == 0:
+            return pa.table({key: g.column(key), out_col: pa.array([], pa.int64())})
+        ts = np.asarray(g.column(ts_col).cast(pa.int64()), dtype=np.float64)
+        et = g.column(type_col)
+        new_key = _run_boundaries(g.column(key), n)
+        starts = np.flatnonzero(new_key)
+        lens = np.r_[starts[1:], n] - starts
+        reached = np.zeros(len(starts), dtype=np.int64)
+        prev_t = np.full(len(starts), -np.inf)
+        t1 = None
+        alive = np.ones(len(starts), dtype=bool)
+        for si, step in enumerate(steps):
+            m = np.asarray(pc.equal(et, step).fill_null(False))
+            prev_rows = np.repeat(prev_t, lens)
+            cand = np.where(m & (ts > prev_rows), ts, np.inf)
+            if window is not None and t1 is not None:
+                cand = np.where(
+                    np.repeat(t1, lens) + window >= ts, cand, np.inf
+                )
+            step_min = np.minimum.reduceat(cand, starts)
+            hit = alive & np.isfinite(step_min)
+            reached[hit] = si + 1
+            prev_t = np.where(hit, step_min, prev_t)
+            if si == 0:
+                t1 = np.where(hit, step_min, np.inf)
+            alive = hit
+            if not alive.any():
+                break
+        return pa.table(
+            {key: g.column(key).take(pa.array(starts)),
+             out_col: pa.array(reached)}
+        )
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )

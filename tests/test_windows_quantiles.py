@@ -1348,3 +1348,55 @@ def test_grouped_zscore_matches_sql_bitwise():
     t1 = pa.table({"k": pa.array([1, 1], pa.int64()), "v": pa.array([7, 7], pa.int64())})
     o1 = grouped_zscore(rd.from_arrow(t1), "k", "v").to_pandas()
     assert o1["z"].isna().all()
+
+
+def test_funnel_steps_matches_sql_min_chain():
+    t = _events(n=3000, seed=2503)
+    t = t.append_column("us", pc.cast(t["ts"], pa.int64()))
+    from raycdc.ops import funnel_steps
+
+    win = 50_000_000_000  # wide window in us
+    out = funnel_steps(
+        rd.from_arrow(t).repartition(4), "user_id", "us", "etype",
+        steps=["a", "b", "c"], window=win, num_buckets=8, batch_size=350,
+    ).to_pandas()
+    want = _duck(
+        t.append_column("usx", pc.cast(t["ts"], pa.int64())),
+        f"""
+        WITH e AS (SELECT user_id, usx AS us, etype FROM events),
+        t1 AS (SELECT user_id, min(us) AS ts1 FROM e WHERE etype = 'a'
+               GROUP BY user_id),
+        t2 AS (SELECT e.user_id, min(e.us) AS ts2 FROM e JOIN t1 USING (user_id)
+               WHERE etype = 'b' AND e.us > ts1 AND e.us <= ts1 + {win}
+               GROUP BY e.user_id),
+        t3 AS (SELECT e.user_id, min(e.us) AS ts3
+               FROM e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+               WHERE etype = 'c' AND e.us > ts2 AND e.us <= ts1 + {win}
+               GROUP BY e.user_id)
+        SELECT u.user_id,
+               CASE WHEN ts3 IS NOT NULL THEN 3
+                    WHEN ts2 IS NOT NULL THEN 2
+                    WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END AS steps_reached
+        FROM (SELECT DISTINCT user_id FROM e) u
+        LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        LEFT JOIN t3 USING (user_id)
+        """,
+    ).to_pandas()
+    got = out.sort_values("user_id").reset_index(drop=True)
+    want = want.sort_values("user_id").reset_index(drop=True)
+    assert got.shape == want.shape
+    assert (got["steps_reached"].to_numpy() == want["steps_reached"].to_numpy()).all()
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+
+    # tight window: step 2 must land within `window` of step 1
+    t2 = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2], pa.int64()),
+            "us": pa.array([0, 100, 0, 5], pa.int64()),
+            "e": pa.array(["a", "b", "a", "b"]),
+        }
+    )
+    o2 = funnel_steps(
+        rd.from_arrow(t2), "k", "us", "e", steps=["a", "b"], window=10
+    ).to_pandas().set_index("k")
+    assert o2.loc[1, "steps_reached"] == 1 and o2.loc[2, "steps_reached"] == 2
