@@ -1681,6 +1681,28 @@ def q_events_range_window(sf_dir: str):
     )
 
 
+def q_events_share(sf_dir: str):
+    """Ratio-to-report: each event's share of its user's total cents —
+    the per-entity weighting transform, one bucket shuffle with
+    run-boundary sums re-broadcast; bit-exact doubles vs the exact-int
+    SQL oracle."""
+    from raycdc.ops import grouped_normalize
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "cents": pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_normalize(ev, "user_id", "cents", "share").map_batches(
+        lambda t: t.select(["event_id", "user_id", "share"]), batch_format="pyarrow"
+    )
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered conversion funnel per user (the windowFunnel shape):
     greedy-earliest chain through event types, each key folded with
@@ -1818,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_window": q_events_range_window,
         "events_zscore": q_events_zscore,
         "events_funnel": q_events_funnel,
+        "events_share": q_events_share,
         "orders_rollup": q_orders_rollup,
         "events_orders_full": q_events_orders_full,
         "lineitem_cube": q_lineitem_cube,
@@ -2107,6 +2130,17 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS running_cents
             FROM c
+        """,
+        "events_share": """
+            WITH c AS (SELECT event_id, user_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+                 s AS (SELECT user_id, CAST(sum(cents) AS DOUBLE) AS sm
+                       FROM c GROUP BY user_id)
+            SELECT event_id, c.user_id,
+                   CASE WHEN cents IS NULL OR sm = 0 THEN NULL
+                        ELSE cents / sm END AS share
+            FROM c LEFT JOIN s ON s.user_id IS NOT DISTINCT FROM c.user_id
         """,
         "events_funnel": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type

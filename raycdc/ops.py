@@ -2918,3 +2918,64 @@ def funnel_steps(
         .groupby("_bucket")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def grouped_normalize(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    method: str = "minmax",
+    out_col: str | None = None,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-group normalization transforms beside
+    :func:`grouped_zscore`, same one-bucket-shuffle run-boundary-
+    broadcast shape and the same fixed float64 expression discipline
+    (bit-exact SQL oracles on exact-integer inputs):
+
+    * ``"minmax"`` — ``(x - min) / (max - min)``; NULL when the group
+      is constant (max == min).
+    * ``"share"`` — ``x / sum(x)`` (ratio-to-report); NULL when the
+      group total is 0.
+
+    NULL values stay NULL and don't contribute to the statistics."""
+    if method not in ("minmax", "share"):
+        raise ValueError("method must be 'minmax' or 'share'")
+    out_col = out_col or method
+    from raycdc.util import bucket_of
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending")])).combine_chunks()
+        n = g.num_rows
+        new_key = _run_boundaries(g.column(key), n)
+        starts = np.flatnonzero(new_key)
+        ends = np.r_[starts[1:], n]
+        lens = ends - starts
+        a = g.column(col).cast(pa.float64())
+        valid_b = np.asarray(pc.is_valid(a))
+        x = np.asarray(a.fill_null(0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if method == "share":
+                c0 = np.concatenate([[0.0], np.cumsum(x * valid_b)])
+                s = np.repeat(c0[ends] - c0[starts], lens)
+                v = x / s
+                bad = ~valid_b | (s == 0)
+            else:
+                xmin = np.where(valid_b, x, np.inf)
+                xmax = np.where(valid_b, x, -np.inf)
+                gmin = np.repeat(np.minimum.reduceat(xmin, starts), lens)
+                gmax = np.repeat(np.maximum.reduceat(xmax, starts), lens)
+                v = (x - gmin) / (gmax - gmin)
+                bad = ~valid_b | ~np.isfinite(gmin) | (gmax == gmin)
+        return g.append_column(out_col, pa.array(v, pa.float64(), mask=bad))
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )

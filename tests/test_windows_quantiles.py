@@ -1400,3 +1400,37 @@ def test_funnel_steps_matches_sql_min_chain():
         rd.from_arrow(t2), "k", "us", "e", steps=["a", "b"], window=10
     ).to_pandas().set_index("k")
     assert o2.loc[1, "steps_reached"] == 1 and o2.loc[2, "steps_reached"] == 2
+
+
+def test_grouped_normalize_matches_sql_bitwise():
+    t = _events(n=2500, seed=2609, with_nulls=True)
+    from raycdc.ops import grouped_normalize
+
+    mm = grouped_normalize(
+        rd.from_arrow(t).repartition(4), "user_id", "cents", "minmax",
+        num_buckets=8, batch_size=300,
+    ).to_pandas()
+    sh = grouped_normalize(
+        rd.from_arrow(t), "user_id", "cents", "share",
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        WITH s AS (SELECT user_id,
+                          CAST(min(cents) AS DOUBLE) AS mn,
+                          CAST(max(cents) AS DOUBLE) AS mx,
+                          CAST(sum(cents) AS DOUBLE) AS sm
+                   FROM events GROUP BY user_id)
+        SELECT event_id,
+               CASE WHEN cents IS NULL OR mx = mn THEN NULL
+                    ELSE (cents - mn) / (mx - mn) END AS minmax,
+               CASE WHEN cents IS NULL OR sm = 0 THEN NULL
+                    ELSE cents / sm END AS share
+        FROM events e LEFT JOIN s ON s.user_id IS NOT DISTINCT FROM e.user_id
+        """,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    for df, c in ((mm, "minmax"), (sh, "share")):
+        got = df[["event_id", c]].sort_values("event_id").reset_index(drop=True)
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        nn = np.isnan(a) & np.isnan(b)
+        assert ((a == b) | nn).all(), c  # bit-exact
