@@ -248,6 +248,66 @@ def q_cdc_replay_events(sf_dir: str):
     return res
 
 
+def q_cdc_replay_then_rank(sf_dir: str):
+    """CDC + analytics integration under ONE oracle: the changelog is
+    tailed through the real ingest stack into the exactly-once lake,
+    and the CONVERGED state (not the raw events) feeds the combiner
+    top-k — the 'query your freshly-applied table' path a CDC engine
+    exists for. Oracle = the LWW window fold chained into the same
+    ORDER BY/LIMIT."""
+    import shutil
+    import uuid
+
+    from raycdc.lake import LakeTable
+    from raycdc.ops import top_k
+    from raycdc.tailer import tail_until_caught_up
+
+    work = f"/tmp/raycdc_work/replay_rank_{uuid.uuid4().hex[:8]}"
+    log_dir = os.path.join(work, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    ev = pa.table(
+        {
+            "lsn": ev["event_id"].cast(pa.int64()),
+            "op": pa.array(["insert"] * ev.num_rows),
+            "user_id": ev["user_id"],
+            "event_type": ev["event_type"],
+            "value": ev["value"],
+        }
+    )
+    n_seg = 4
+    step = (ev.num_rows + n_seg - 1) // n_seg or 1
+    for k in range(n_seg):
+        seg = ev.slice(k * step, step)
+        if seg.num_rows:
+            pq.write_table(seg, os.path.join(log_dir, f"seg-{k:05d}.parquet"))
+
+    lake = LakeTable(os.path.join(work, "lake"), num_partitions=8, key="user_id")
+    lake.init()
+    tail_until_caught_up(lake, log_dir, max_segments_per_epoch=2)
+    out = lake.read(include_tombstones=True)
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "lsn": t["lsn"],
+                "event_type": t["event_type"],
+                "cents": pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+            }
+        )
+
+    ranked = top_k(
+        out.map_batches(emit, batch_format="pyarrow"),
+        by="cents", k=10, descending=True, tiebreak="user_id",
+    ).materialize()
+    shutil.rmtree(work, ignore_errors=True)
+    return ranked
+
+
 def q_cdc_replay_tokens(sf_dir: str):
     """THE flagship (north star): full CDC replay over the synthesized
     pre-tokenized-sequence table — changelog tail → validate/dead-letter
@@ -1841,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": q_events_zscore,
         "events_funnel": q_events_funnel,
         "events_share": q_events_share,
+        "cdc_replay_then_rank": q_cdc_replay_then_rank,
         "orders_rollup": q_orders_rollup,
         "events_orders_full": q_events_orders_full,
         "lineitem_cube": q_lineitem_cube,
@@ -1998,6 +2059,18 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
                   FROM events) t
             WHERE rn = 1
+        """,
+        "cdc_replay_then_rank": """
+            WITH lww AS (
+                SELECT user_id, event_id AS lsn, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events)
+            SELECT user_id, lsn, event_type, cents
+            FROM lww WHERE rn = 1
+            ORDER BY cents DESC, user_id
+            LIMIT 10
         """,
         "cdc_date_shift_shuffle": """
             SELECT event_id, user_id,
