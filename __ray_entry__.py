@@ -391,6 +391,30 @@ def q_top_docs_per_lang(sf_dir: str):
     )
 
 
+def q_docs_ksample_per_lang(sf_dir: str):
+    """Deterministic fixed-k per-group sample: exactly 5 docs per
+    language, chosen by content-addressed md5 order — the balanced
+    per-stratum cut (stratified_sample is rate-based; this is
+    count-based). Composition of the md5 ranking column + grouped
+    top-k; replay-stable because the order is a pure function of
+    doc_id."""
+    from raycdc.extras.dedup import _md5_col
+    from raycdc.ops import top_k
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "h", pa.array(_md5_col([str(v) for v in t["doc_id"].to_pylist()]))
+        ),
+        batch_format="pyarrow",
+    )
+    out = top_k(docs, "h", 5, descending=False, tiebreak="doc_id", per="lang")
+    return out.map_batches(
+        lambda t: t.select(["lang", "doc_id"]), batch_format="pyarrow"
+    )
+
+
 def q_join_orders_nation(sf_dir: str):
     """Distributed hash join (both sides large — no broadcast): orders ⋈
     customer on custkey via ops.hash_join (one bounded bucket shuffle +
@@ -1902,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_share": q_events_share,
         "cdc_replay_then_rank": q_cdc_replay_then_rank,
+        "docs_ksample_per_lang": q_docs_ksample_per_lang,
         "orders_rollup": q_orders_rollup,
         "events_orders_full": q_events_orders_full,
         "lineitem_cube": q_lineitem_cube,
@@ -2059,6 +2084,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
                   FROM events) t
             WHERE rn = 1
+        """,
+        "docs_ksample_per_lang": """
+            SELECT lang, doc_id FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
         """,
         "cdc_replay_then_rank": """
             WITH lww AS (
