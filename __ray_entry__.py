@@ -1667,6 +1667,72 @@ def q12_priority_by_flag(sf_dir: str):
     )
 
 
+def q14_promo_share(sf_dir: str):
+    """TPC-H Q14 shape: PROMO revenue share of a ship-month. The part
+    side ships only (partkey, is-promo flag) through the join shuffle;
+    both numerator and denominator fold as one combiner pass over the
+    joined stream; the final share is one driver-side division in the
+    oracle's exact expression order."""
+    from raycdc.ops import hash_join, partial_groupby_agg
+
+    lo = pa.scalar(datetime.datetime(1995, 9, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1995, 10, 1), type=pa.timestamp("us"))
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "p_partkey": f["l_partkey"],
+                    "rev": pc.multiply(
+                        pc.round(pc.multiply(f["l_extendedprice"], 100.0)).cast(pa.int64()),
+                        pc.subtract(
+                            pa.scalar(100, pa.int64()),
+                            pc.round(pc.multiply(f["l_discount"], 100.0)).cast(pa.int64()),
+                        ),
+                    ),
+                }
+            )
+        )(
+            t.filter(
+                pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi))
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "promo": pc.equal(t["p_type"], "PROMO").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(li, part, "p_partkey", how="inner").map_batches(
+        lambda t: pa.table(
+            {
+                "_all": pa.array(np.zeros(t.num_rows, np.int8)),
+                "promo_rev": pc.multiply(t["rev"], t["promo"]),
+                "rev": t["rev"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = partial_groupby_agg(
+        j, "_all", {"promo_rev": ("promo_rev", "sum"), "total_rev": ("rev", "sum")}
+    )
+    def finish(t: pa.Table) -> pa.Table:
+        pr = np.asarray(t["promo_rev"], dtype=np.float64)
+        tr = np.asarray(t["total_rev"], dtype=np.float64)
+        share = 100.0 * pr / tr
+        return pa.table({"promo_share": pa.array(share, pa.float64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_events_orders_full(sf_dir: str):
     """Large×large FULL OUTER join: per-user event counts against
     per-custkey order counts — unmatched rows survive on BOTH sides
@@ -1947,6 +2013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_unshipped_orders": q3_unshipped_orders,
         "q6_revenue_delta": q6_revenue_delta,
         "q12_priority_by_flag": q12_priority_by_flag,
+        "q14_promo_share": q14_promo_share,
         "docs_outlier_filter": q_docs_outlier_filter,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -2340,6 +2407,19 @@ def oracle_sql() -> dict[str, str]:
             FROM rev JOIN bo ON bo.l_orderkey = rev.l_orderkey
             ORDER BY rev.revenue DESC, rev.l_orderkey
             LIMIT 10
+        """,
+        "q14_promo_share": """
+            WITH j AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+                       CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+                  AND l_shipdate < TIMESTAMP '1995-10-01'),
+            s AS (SELECT CAST(sum(rev * promo) AS DOUBLE) AS pr,
+                         CAST(sum(rev) AS DOUBLE) AS tr
+                  FROM j)
+            SELECT 100.0 * pr / tr AS promo_share FROM s
         """,
         "q12_priority_by_flag": """
             SELECT l_returnflag,

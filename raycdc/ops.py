@@ -2510,6 +2510,7 @@ def grouped_array_agg(
     val_col: str,
     order_cols: list[str],
     out_col: str = "vals",
+    distinct: bool = False,
     num_buckets: int = 64,
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
@@ -2517,7 +2518,10 @@ def grouped_array_agg(
     / ``array_agg``): each key becomes ONE row whose ``out_col`` is the
     key's values as a real ``list<T>`` in ``order_cols`` order — the
     typed counterpart of :func:`grouped_concat` for sequence-model
-    training examples. Same vectorized shape: one bounded bucket
+    training examples. ``distinct=True`` is collect_set: each value
+    once per key, keeping its FIRST occurrence's position in the order
+    (deduped locally per batch first — the combiner — then exactly in
+    the bucket fold). Same vectorized shape: one bounded bucket
     shuffle, in-bucket sort, ``pa.ListArray.from_arrays`` over the key
     run boundaries — no per-row Python. NULL values are skipped
     (array_agg FILTER convention); all-null keys are dropped; NULL keys
@@ -2527,14 +2531,25 @@ def grouped_array_agg(
     sel = list(dict.fromkeys([key, val_col, *order_cols]))
     order = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
 
+    def _first_per_pair(t: pa.Table) -> pa.Table:
+        # keep each (key, val)'s FIRST row in the sort order (C-speed
+        # pandas duplicated mask; NaN keys compare equal, like the fold)
+        df = pa.table({"k": t.column(key), "v": t.column(val_col)}).to_pandas()
+        return t.filter(pa.array(~df.duplicated(["k", "v"]).to_numpy()))
+
     def stamp(t: pa.Table) -> pa.Table:
         t = t.select(sel)
         t = t.filter(pc.is_valid(t.column(val_col)))
+        if distinct:
+            t = t.take(pc.sort_indices(t, sort_keys=order)).combine_chunks()
+            t = _first_per_pair(t)
         return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
 
     def fold(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["_bucket"])
         g = g.take(pc.sort_indices(g, sort_keys=order)).combine_chunks()
+        if distinct:
+            g = _first_per_pair(g).combine_chunks()
         n = g.num_rows
         kcol = g.column(key)
         vals = g.column(val_col).combine_chunks()

@@ -1434,3 +1434,36 @@ def test_grouped_normalize_matches_sql_bitwise():
         a, b = got[c].to_numpy(), want[c].to_numpy()
         nn = np.isnan(a) & np.isnan(b)
         assert ((a == b) | nn).all(), c  # bit-exact
+
+
+def test_grouped_array_agg_distinct_collect_set():
+    t = _events(n=1200, seed=2707)
+    t = t.append_column("v", pc.divide(t["cents"], 10000))  # coarse → dupes
+    from raycdc.ops import grouped_array_agg, unnest_list
+
+    flat = unnest_list(
+        grouped_array_agg(
+            rd.from_arrow(t).repartition(3), "user_id", "v",
+            order_cols=["ts", "event_id"], distinct=True,
+            num_buckets=4, batch_size=150,
+        ),
+        "vals", out_col="v", index_col="i",
+    ).to_pandas()
+    want = _duck(
+        t,
+        """
+        WITH f AS (SELECT user_id, v, ts, event_id,
+                          row_number() OVER (PARTITION BY user_id, v
+                                             ORDER BY ts, event_id) AS rv
+                   FROM events WHERE v IS NOT NULL)
+        SELECT user_id, v,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT) - 1 AS i
+        FROM f WHERE rv = 1
+        """,
+    ).to_pandas()
+    key = ["user_id", "i"]
+    got = flat.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.shape[0] == want.shape[0]
+    assert (got["v"].to_numpy() == want["v"].to_numpy()).all()
