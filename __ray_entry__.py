@@ -391,6 +391,34 @@ def q_top_docs_per_lang(sf_dir: str):
     )
 
 
+def q_csv_jsonl_roundtrip(sf_dir: str):
+    """Source/sink format breadth: the nation table round-trips
+    parquet → CSV → JSONL → Dataset through Ray Data's native
+    readers/writers (types re-asserted after the lossy CSV hop). The
+    oracle is the identity select — proving the hops preserve values
+    exactly."""
+    import shutil
+    import uuid
+
+    work = f"/tmp/raycdc_work/fmt_{uuid.uuid4().hex[:8]}"
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    nation.write_csv(os.path.join(work, "csv"))
+    back = rd.read_csv(os.path.join(work, "csv"))
+    back.write_json(os.path.join(work, "jsonl"))
+    out = rd.read_json(os.path.join(work, "jsonl")).map_batches(
+        lambda t: pa.table(
+            {
+                "n_nationkey": t["n_nationkey"].cast(pa.int64()),
+                "n_name": t["n_name"].cast(pa.string()),
+                "n_regionkey": t["n_regionkey"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_docs_ksample_per_lang(sf_dir: str):
     """Deterministic fixed-k per-group sample: exactly 5 docs per
     language, chosen by content-addressed md5 order — the balanced
@@ -1993,6 +2021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_share": q_events_share,
         "cdc_replay_then_rank": q_cdc_replay_then_rank,
         "docs_ksample_per_lang": q_docs_ksample_per_lang,
+        "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
         "orders_rollup": q_orders_rollup,
         "events_orders_full": q_events_orders_full,
         "lineitem_cube": q_lineitem_cube,
@@ -2151,6 +2180,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
                   FROM events) t
             WHERE rn = 1
+        """,
+        "csv_jsonl_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "docs_ksample_per_lang": """
             SELECT lang, doc_id FROM documents
