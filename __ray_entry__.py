@@ -391,6 +391,19 @@ def q_top_docs_per_lang(sf_dir: str):
     )
 
 
+def q_top_trigrams(sf_dir: str):
+    """Corpus phrase heavy hitters: exact top word-3-grams (boilerplate
+    / contamination phrase mining). Gram build fully vectorized per
+    batch (flat word array, one same-doc mask, one element-wise join);
+    only gram-vocabulary-sized partials shuffle."""
+    from raycdc.extras.text import ngram_counts
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return ngram_counts(docs, "text", n=3, k=15)
+
+
 def q_csv_jsonl_roundtrip(sf_dir: str):
     """Source/sink format breadth: the nation table round-trips
     parquet → CSV → JSONL → Dataset through Ray Data's native
@@ -2022,6 +2035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_then_rank": q_cdc_replay_then_rank,
         "docs_ksample_per_lang": q_docs_ksample_per_lang,
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
+        "top_trigrams": q_top_trigrams,
         "orders_rollup": q_orders_rollup,
         "events_orders_full": q_events_orders_full,
         "lineitem_cube": q_lineitem_cube,
@@ -2180,6 +2194,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
                   FROM events) t
             WHERE rn = 1
+        """,
+        "top_trigrams": """
+            WITH w AS (SELECT list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '') AS ws FROM documents),
+            i AS (SELECT ws,
+                         unnest(generate_series(1, greatest(0, len(ws) - 2))) AS i
+                  FROM w),
+            g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram FROM i)
+            SELECT gram, CAST(count(*) AS BIGINT) AS n
+            FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 15
         """,
         "csv_jsonl_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation

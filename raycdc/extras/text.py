@@ -349,3 +349,64 @@ def split_to_rows(
 
     lists = ds.map_batches(split, batch_format="pyarrow", batch_size=batch_size)
     return unnest_list(lists, "_parts", out_col=out_col, index_col=index_col)
+
+
+def ngram_counts(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Exact corpus top-k word n-grams — the phrase-level heavy-hitters
+    path beside :func:`top_words` (boilerplate/contamination phrase
+    mining). Tokenization is ``WORD_PATTERN`` on lowercased text, grams
+    join with single spaces — byte-identical to the SQL oracle's
+    split+filter.
+
+    Shape: per batch the gram build is fully vectorized — words
+    explode to a flat array with offsets, gram starts are one boolean
+    mask (same-doc check via a repeated doc index), and the n words
+    join with ONE ``pc.binary_join_element_wise`` over shifted slices;
+    local value_counts makes the shuffle gram-vocabulary-sized, then a
+    combiner groupby + deterministic top-k head."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    import polars as pl
+
+    from raycdc.ops import partial_groupby_agg, top_k
+
+    def grams(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).cast(pa.string()).combine_chunks()
+        s = pl.Series("w", pl.from_arrow(col)).str.to_lowercase()
+        lists = s.str.extract_all(WORD_PATTERN)
+        arr = lists.to_arrow()  # LargeListArray (polars) or ChunkedArray
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.asarray(arr.offsets, dtype=np.int64)
+        flat = arr.flatten()
+        total = len(flat)
+        lens = offs[1:] - offs[:-1]
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if total < n:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        starts = np.arange(total - n + 1)
+        ok = doc_of[starts] == doc_of[starts + n - 1]  # gram stays in one doc
+        idx = starts[ok]
+        parts = [flat.take(pa.array(idx + j)) for j in range(n)]
+        # polars emits large_string; the separator literal must match
+        gram = pc.binary_join_element_wise(
+            *parts, pa.scalar(" ", type=parts[0].type)
+        )
+        counts = pl.Series("g", pl.from_arrow(gram)).value_counts()
+        carr = counts.to_arrow()
+        return pa.table(
+            {"gram": carr.column(0).cast(pa.string()),
+             "n": carr.column(1).cast(pa.int64())}
+        )
+
+    partials = ds.map_batches(grams, batch_format="pyarrow", batch_size=batch_size)
+    totals = partial_groupby_agg(partials, "gram", {"n": ("n", "sum")},
+                                 batch_size=65536)
+    return top_k(totals, by="n", k=k, descending=True, tiebreak="gram")

@@ -676,3 +676,36 @@ def test_multimodal_real_bmp_roundtrip_and_resize():
     )
     for p in resized["payload"].to_pylist():
         assert decode_bmp(bytes(p)).shape == (10, 20, 3)
+
+
+def test_ngram_counts_matches_duckdb():
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycdc.extras.text import ngram_counts
+
+    texts = [
+        "the quick brown fox jumps over the quick brown dog",
+        "THE QUICK brown fox!", "one two", "", "a b c a b c a b c",
+    ] * 12
+    t = pa.table({"text": pa.array(texts)})
+    out = ngram_counts(
+        rd.from_arrow(t).repartition(3), "text", n=3, k=8
+    ).to_pandas()
+    want = duckdb.connect().execute(
+        r"""
+        WITH w AS (SELECT list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS ws FROM t),
+        i AS (SELECT ws, unnest(generate_series(1, greatest(0, len(ws) - 2))) AS i
+              FROM w),
+        g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram FROM i)
+        SELECT gram, CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 8
+        """
+    ).df()
+    got = out.sort_values(["n", "gram"], ascending=[False, True]).reset_index(drop=True)
+    assert got.shape == want.shape
+    assert (got["gram"].to_numpy() == want["gram"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
