@@ -404,6 +404,18 @@ def q_top_trigrams(sf_dir: str):
     return ngram_counts(docs, "text", n=3, k=15)
 
 
+def q_top_words_by_df(sf_dir: str):
+    """Document-frequency heavy hitters (the IDF / stopword-list
+    builder): top words by how many docs contain them — per-doc dedup
+    inside the batch pass, vocabulary-sized partials only."""
+    from raycdc.extras.text import doc_frequency
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return doc_frequency(docs, "text", k=15)
+
+
 def q_csv_jsonl_roundtrip(sf_dir: str):
     """Source/sink format breadth: the nation table round-trips
     parquet → CSV → JSONL → Dataset through Ray Data's native
@@ -2036,6 +2048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ksample_per_lang": q_docs_ksample_per_lang,
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
         "top_trigrams": q_top_trigrams,
+        "top_words_by_df": q_top_words_by_df,
         "orders_rollup": q_orders_rollup,
         "events_orders_full": q_events_orders_full,
         "lineitem_cube": q_lineitem_cube,
@@ -2194,6 +2207,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
                   FROM events) t
             WHERE rn = 1
+        """,
+        "top_words_by_df": """
+            WITH w AS (SELECT list_distinct(list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '')) AS ws FROM documents),
+            g AS (SELECT unnest(ws) AS word FROM w)
+            SELECT word, CAST(count(*) AS BIGINT) AS df
+            FROM g GROUP BY word ORDER BY df DESC, word LIMIT 15
         """,
         "top_trigrams": """
             WITH w AS (SELECT list_filter(

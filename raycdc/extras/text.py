@@ -410,3 +410,42 @@ def ngram_counts(
     totals = partial_groupby_agg(partials, "gram", {"n": ("n", "sum")},
                                  batch_size=65536)
     return top_k(totals, by="n", k=k, descending=True, tiebreak="gram")
+
+
+def doc_frequency(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    k: int = 20,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Exact top-k words by DOCUMENT frequency (how many docs contain
+    the word at least once) — the IDF / stopword-list building block
+    beside :func:`top_words`' term frequency. Per batch: one polars
+    pass (lowercase → extract_all → per-list unique → explode →
+    value_counts) emits vocabulary-sized (word, df) partials; combiner
+    groupby + deterministic top-k head. Tokenization identical to the
+    SQL oracle's split+filter+list_distinct."""
+    import polars as pl
+
+    from raycdc.ops import partial_groupby_agg, top_k
+
+    def dfreq(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).cast(pa.string()).combine_chunks()
+        s = pl.Series("w", pl.from_arrow(col)).str.to_lowercase()
+        counts = (
+            s.str.extract_all(WORD_PATTERN)
+            .list.unique()
+            .explode()
+            .drop_nulls()
+            .value_counts()
+        )
+        arr = counts.to_arrow()
+        return pa.table(
+            {"word": arr.column(0).cast(pa.string()),
+             "df": arr.column(1).cast(pa.int64())}
+        )
+
+    partials = ds.map_batches(dfreq, batch_format="pyarrow", batch_size=batch_size)
+    totals = partial_groupby_agg(partials, "word", {"df": ("df", "sum")},
+                                 batch_size=65536)
+    return top_k(totals, by="df", k=k, descending=True, tiebreak="word")

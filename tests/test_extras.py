@@ -709,3 +709,31 @@ def test_ngram_counts_matches_duckdb():
     assert got.shape == want.shape
     assert (got["gram"].to_numpy() == want["gram"].to_numpy()).all()
     assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_doc_frequency_matches_duckdb():
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycdc.extras.text import doc_frequency
+
+    texts = [
+        "the the the cat", "a cat and a dog", "Dog DOG dog!", "", "cat",
+    ] * 9
+    t = pa.table({"text": pa.array(texts)})
+    out = doc_frequency(rd.from_arrow(t).repartition(3), "text", k=6).to_pandas()
+    want = duckdb.connect().execute(
+        r"""
+        WITH w AS (SELECT list_distinct(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '')) AS ws FROM t),
+        g AS (SELECT unnest(ws) AS word FROM w)
+        SELECT word, CAST(count(*) AS BIGINT) AS df
+        FROM g GROUP BY word ORDER BY df DESC, word LIMIT 6
+        """
+    ).df()
+    got = out.sort_values(["df", "word"], ascending=[False, True]).reset_index(drop=True)
+    assert got.shape == want.shape
+    assert (got["word"].to_numpy() == want["word"].to_numpy()).all()
+    assert (got["df"].to_numpy() == want["df"].to_numpy()).all()
