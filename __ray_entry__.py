@@ -416,6 +416,57 @@ def q_top_words_by_df(sf_dir: str):
     return doc_frequency(docs, "text", k=15)
 
 
+def q_distinctive_words(sf_dir: str):
+    """TF-IDF-style distinctive terms: each doc's top-2 words by
+    tf/df ratio — term counts computed inside the row's own batch
+    pass (a doc is one row, so counts are complete without a shuffle),
+    joined to the full document-frequency table with the distributed
+    hash join (vocabulary is unbounded at corpus scale — never a
+    broadcast), scored with the oracle's exact float division, ranked
+    by the grouped top-k head."""
+    import polars as pl
+
+    from raycdc.extras.text import WORD_PATTERN, doc_frequency
+    from raycdc.ops import hash_join, top_k
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def tf(t: pa.Table) -> pa.Table:
+        dfm = pl.DataFrame(
+            {
+                "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()),
+                "w": pl.from_arrow(t["text"].cast(pa.string()).combine_chunks())
+                .str.to_lowercase()
+                .str.extract_all(WORD_PATTERN),
+            }
+        )
+        out = dfm.explode("w").drop_nulls().group_by(["doc_id", "w"]).len()
+        arr = out.to_arrow()
+        return pa.table(
+            {
+                "doc_id": arr.column("doc_id").cast(pa.int64()),
+                "word": arr.column("w").cast(pa.string()),
+                "tf": arr.column("len").cast(pa.int64()),
+            }
+        )
+
+    tf_ds = docs.map_batches(tf, batch_format="pyarrow", batch_size=256)
+    df_ds = doc_frequency(docs, "text", k=None)
+    j = hash_join(tf_ds, df_ds, "word", how="inner")
+
+    def score(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["tf"], dtype=np.float64) / np.asarray(
+            t["df"], dtype=np.float64
+        )
+        return t.append_column("score", pa.array(s, pa.float64()))
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+    return top_k(scored, by="score", k=2, descending=True, tiebreak="word",
+                 per="doc_id")
+
+
 def q_csv_jsonl_roundtrip(sf_dir: str):
     """Source/sink format breadth: the nation table round-trips
     parquet → CSV → JSONL → Dataset through Ray Data's native
@@ -2049,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
         "top_trigrams": q_top_trigrams,
         "top_words_by_df": q_top_words_by_df,
+        "distinctive_words": q_distinctive_words,
         "orders_rollup": q_orders_rollup,
         "events_orders_full": q_events_orders_full,
         "lineitem_cube": q_lineitem_cube,
@@ -2207,6 +2259,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
                   FROM events) t
             WHERE rn = 1
+        """,
+        "distinctive_words": """
+            WITH w AS (SELECT doc_id, list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '') AS ws FROM documents),
+            tfx AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+                    GROUP BY doc_id, word),
+            dfx AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                    FROM (SELECT doc_id, unnest(list_distinct(ws)) AS word FROM w)
+                    GROUP BY word)
+            SELECT doc_id, word, tf, df,
+                   CAST(tf AS DOUBLE) / df AS score
+            FROM tfx JOIN dfx USING (word)
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY CAST(tf AS DOUBLE) / df DESC, word) <= 2
         """,
         "top_words_by_df": """
             WITH w AS (SELECT list_distinct(list_filter(

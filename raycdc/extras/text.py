@@ -415,16 +415,17 @@ def ngram_counts(
 def doc_frequency(
     ds: "ray.data.Dataset",
     text_col: str = "text",
-    k: int = 20,
+    k: int | None = 20,
     batch_size: int = 256,
 ) -> "ray.data.Dataset":
     """Exact top-k words by DOCUMENT frequency (how many docs contain
     the word at least once) — the IDF / stopword-list building block
-    beside :func:`top_words`' term frequency. Per batch: one polars
-    pass (lowercase → extract_all → per-list unique → explode →
-    value_counts) emits vocabulary-sized (word, df) partials; combiner
-    groupby + deterministic top-k head. Tokenization identical to the
-    SQL oracle's split+filter+list_distinct."""
+    beside :func:`top_words`' term frequency. ``k=None`` returns the
+    FULL vocabulary-sized (word, df) table (the IDF join side). Per
+    batch: one polars pass (lowercase → extract_all → per-list unique →
+    explode → value_counts) emits vocabulary-sized (word, df) partials;
+    combiner groupby + deterministic top-k head. Tokenization identical
+    to the SQL oracle's split+filter+list_distinct."""
     import polars as pl
 
     from raycdc.ops import partial_groupby_agg, top_k
@@ -448,4 +449,6 @@ def doc_frequency(
     partials = ds.map_batches(dfreq, batch_format="pyarrow", batch_size=batch_size)
     totals = partial_groupby_agg(partials, "word", {"df": ("df", "sum")},
                                  batch_size=65536)
+    if k is None:
+        return totals
     return top_k(totals, by="df", k=k, descending=True, tiebreak="word")
