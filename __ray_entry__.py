@@ -1244,6 +1244,36 @@ def q_events_bloom_semi(sf_dir: str):
     return hash_join(pre, orders, "user_id", how="semi")
 
 
+def q_events_change_points(sf_dir: str):
+    """Per-key change-point detection (consecutive dedup): keep each
+    event whose type DIFFERS from the user's previous event's type —
+    grouped_lag then a vectorized IS-DISTINCT-FROM filter, the
+    sensor/state-stream compaction move."""
+    from raycdc.ops import grouped_lag
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts", "event_type"]),
+        batch_format="pyarrow",
+    )
+    lagged = grouped_lag(
+        ev, "user_id", order_cols=["ts", "event_id"], val_col="event_type",
+        out_col="prev_type",
+    )
+
+    def changed(t: pa.Table) -> pa.Table:
+        a, b = t["event_type"], t["prev_type"]
+        # SQL IS DISTINCT FROM: null-safe inequality
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        neq = pc.if_else(
+            pc.or_(pc.is_null(a), pc.is_null(b)),
+            pc.invert(both_null),
+            pc.not_equal(a, b),
+        )
+        return t.filter(neq).select(["event_id", "user_id", "event_type"])
+
+    return lagged.map_batches(changed, batch_format="pyarrow")
+
+
 def q_events_anti_orders(sf_dir: str):
     """Large×large anti-join (SQL NOT EXISTS): events whose user placed
     no even-keyed order — the orphan-routing pattern at scale, where the
@@ -2088,6 +2118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bloom_semi": q_events_bloom_semi,
         "events_prev_value": q_events_prev_value,
         "events_next_value": q_events_next_value,
+        "events_change_points": q_events_change_points,
         "events_running_total": q_events_running_total,
         "events_rolling_sum": q_events_rolling_sum,
         "events_rolling_stats": q_events_rolling_stats,
@@ -2763,6 +2794,13 @@ def oracle_sql() -> dict[str, str]:
                    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      AS prev_value
             FROM events
+        """,
+        "events_change_points": """
+            SELECT event_id, user_id, event_type
+            FROM events
+            QUALIFY event_type IS DISTINCT FROM
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
         """,
         "events_next_value": """
             SELECT event_id, user_id,
