@@ -1244,6 +1244,35 @@ def q_events_bloom_semi(sf_dir: str):
     return hash_join(pre, orders, "user_id", how="semi")
 
 
+def q_asof_forward_next_order(sf_dir: str):
+    """FORWARD as-of join: each event looks up its user's next
+    'purchase' event at-or-after its own time (the event→next-
+    scheduled-state lookup; DuckDB ASOF is backward-only, so the
+    oracle is the correlated min)."""
+    from raycdc.ops import asof_join
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]), batch_format="pyarrow"
+    )
+    purchases = _ev(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ).rename_columns(["p_id", "user_id", "p_ts"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        ev, purchases, on_left="ts", on_right="p_ts",
+        by_left="user_id", by_right="user_id",
+        tiebreak="p_id", direction="forward",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "p_ts"]).rename_columns(
+            ["event_id", "user_id", "next_purchase"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_change_points(sf_dir: str):
     """Per-key change-point detection (consecutive dedup): keep each
     event whose type DIFFERS from the user's previous event's type —
@@ -2119,6 +2148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prev_value": q_events_prev_value,
         "events_next_value": q_events_next_value,
         "events_change_points": q_events_change_points,
+        "asof_forward_next_order": q_asof_forward_next_order,
         "events_running_total": q_events_running_total,
         "events_rolling_sum": q_events_rolling_sum,
         "events_rolling_stats": q_events_rolling_stats,
@@ -2794,6 +2824,14 @@ def oracle_sql() -> dict[str, str]:
                    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      AS prev_value
             FROM events
+        """,
+        "asof_forward_next_order": """
+            SELECT e.event_id, e.user_id,
+                   (SELECT min(p.ts) FROM events p
+                    WHERE p.user_id = e.user_id
+                      AND p.event_type = 'purchase'
+                      AND p.ts >= e.ts) AS next_purchase
+            FROM events e
         """,
         "events_change_points": """
             SELECT event_id, user_id, event_type

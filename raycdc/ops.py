@@ -549,13 +549,16 @@ def asof_join(
     by_right: str | list[str],
     how: str = "left",
     tiebreak: str | None = None,
+    direction: str = "backward",
     num_buckets: int = 32,
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
-    """Distributed backward as-of join — for every left row, the single
-    right row with the greatest ``on_right`` ≤ ``on_left`` among rows
-    sharing the ``by`` key (the classic event→latest-state lookup Ray
-    Data has no primitive for; DuckDB's ``ASOF JOIN``).
+    """Distributed as-of join — for every left row, the single right
+    row with the greatest ``on_right`` ≤ ``on_left`` (``direction=
+    "backward"``, the event→latest-state lookup; DuckDB's ``ASOF
+    JOIN``) or the smallest ``on_right`` ≥ ``on_left`` (``"forward"``,
+    the event→next-scheduled-state lookup) among rows sharing the
+    ``by`` key.
 
     Shape: the same single bounded-fan-out shuffle as :func:`hash_join`
     (both sides conformed + ``_side``-tagged + bucketed on the by-key,
@@ -564,9 +567,10 @@ def asof_join(
     are gathered by Arrow take afterwards.
 
     Determinism: when several right rows tie on ``on_right``, the winner
-    is the one with the greatest ``tiebreak`` column value (pass one for
-    replay-stable output — merge_asof alone would pick whichever row the
-    partitioning delivered last). SQL-equivalent semantics: right rows
+    is the one with the greatest ``tiebreak`` column value backward /
+    the SMALLEST forward (pass one for replay-stable output —
+    merge_asof alone would pick whichever row the partitioning
+    delivered last). SQL-equivalent semantics: right rows
     with a NULL key or NULL time never match; left rows with a NULL time
     match nothing (how='left' keeps them with a null right side).
 
@@ -581,6 +585,8 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     from raycdc.util import splitmix64, str_hash_u64
 
     bys_l = [by_left] if isinstance(by_left, str) else list(by_left)
@@ -653,7 +659,8 @@ def asof_join(
             ok = pc.and_(ok, pc.is_valid(rt.column(b)))
         rt = rt.filter(ok)
         # deterministic winner among on_right ties: sort right ascending by
-        # (time, tiebreak); merge_asof keeps the LAST equal-time row
+        # (time, tiebreak); merge_asof keeps the LAST equal-time row going
+        # backward and the FIRST going forward
         rsort = [(on_right_out, "ascending")] + (
             [(tb_out, "ascending")] if tb_out else []
         )
@@ -684,7 +691,7 @@ def asof_join(
             pd.DataFrame(rframe),
             on="t",
             by=ks,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=True,
         )
         li = m["li"].to_numpy(np.int64)

@@ -61,9 +61,14 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
                     problems.append(f"col {c}: float mismatch")
                 elif not exact:
                     problems.append(f"col {c}: float close-but-not-exact (hash risk)")
-            elif not (va == vb).all():
-                bad = int((va != vb).sum())
-                problems.append(f"col {c}: {bad} differing values e.g. ray={va[va!=vb][:3]} oracle={vb[va!=vb][:3]}")
+            else:
+                eq = va == vb
+                if va.dtype.kind == "M" and vb.dtype.kind == "M":
+                    # NaT != NaT, but a null matching a null is a match
+                    eq = eq | (pd.isna(va) & pd.isna(vb))
+                if not eq.all():
+                    bad = int((~eq).sum())
+                    problems.append(f"col {c}: {bad} differing values e.g. ray={va[~eq][:3]} oracle={vb[~eq][:3]}")
     return problems
 
 

@@ -1467,3 +1467,35 @@ def test_grouped_array_agg_distinct_collect_set():
     want = want.sort_values(key).reset_index(drop=True)
     assert got.shape[0] == want.shape[0]
     assert (got["v"].to_numpy() == want["v"].to_numpy()).all()
+
+
+def test_asof_join_forward_direction():
+    lt = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "t": pa.array([5, 20, 100, 0, 50], pa.int64()),
+            "lv": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "rt": pa.array([10, 10, 30, 60], pa.int64()),
+            "rv": pa.array([100, 200, 300, 400], pa.int64()),
+            "tb": pa.array([2, 1, 3, 4], pa.int64()),
+        }
+    )
+    from raycdc.ops import asof_join
+
+    out = asof_join(
+        rd.from_arrow(lt).repartition(2), rd.from_arrow(rt),
+        on_left="t", on_right="rt", by_left="k", by_right="k",
+        tiebreak="tb", direction="forward", num_buckets=2,
+    ).to_pandas().sort_values("lv").reset_index(drop=True)
+    # forward: smallest rt >= t; equal-rt ties -> SMALLEST tiebreak.
+    # explicit expectations (DuckDB ASOF is backward-only, so assert directly):
+    # k=1 t=5   -> rt=10 ties {tb1,tb2} -> tb=1 rv=200
+    # k=1 t=20  -> rt=30 rv=300
+    # k=1 t=100 -> no forward match -> NULL
+    # k=2 t=0   -> rt=60 rv=400 ; k=2 t=50 -> rt=60 rv=400
+    assert out["rv"].fillna(-1).tolist() == [200, 300, -1, 400, 400]
