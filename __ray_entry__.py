@@ -1896,6 +1896,51 @@ def q14_promo_share(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_region_nation_grid(sf_dir: str):
+    """CROSS JOIN against a small broadcast side (the parameter-grid
+    expansion op): every nation × every region name, map-only — the
+    region table ships once via ray.put, never a shuffle."""
+    from raycdc.ops import cross_join
+
+    nation = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    return cross_join(nation, region)
+
+
+def q_lineitem_wmean(sf_dir: str):
+    """Price-weighted mean quantity per returnflag (the weighted-mean
+    aggregate): one combiner pass of (n, Σx·w, Σw) partials; the
+    finalize is the oracle's exact sum(x*w)/sum(w) division."""
+    from raycdc.ops import moment_agg
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "qty_c": pc.round(pc.multiply(t["l_quantity"], 100.0)).cast(pa.int64()),
+                # whole-dollar weights via exact cents // 100: keeps Σx·w
+                # below 2**53 (float64-exact) through sf1, and avoids the
+                # half-even vs half-away divergence of rounding raw dollars
+                "price_d": pc.divide(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)).cast(pa.int64()),
+                    pa.scalar(100, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return moment_agg(
+        li, "l_returnflag", {"wmean_qty": ("qty_c", "price_d", "wmean")}
+    )
+
+
 def q_events_orders_full(sf_dir: str):
     """Large×large FULL OUTER join: per-user event counts against
     per-custkey order counts — unmatched rows survive on BOTH sides
@@ -2149,6 +2194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next_value": q_events_next_value,
         "events_change_points": q_events_change_points,
         "asof_forward_next_order": q_asof_forward_next_order,
+        "region_nation_grid": q_region_nation_grid,
+        "lineitem_wmean": q_lineitem_wmean,
         "events_running_total": q_events_running_total,
         "events_rolling_sum": q_events_rolling_sum,
         "events_rolling_stats": q_events_rolling_stats,
@@ -2824,6 +2871,20 @@ def oracle_sql() -> dict[str, str]:
                    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      AS prev_value
             FROM events
+        """,
+        "region_nation_grid": """
+            SELECT n_nationkey, n_name, r_regionkey, r_name
+            FROM nation CROSS JOIN region
+        """,
+        "lineitem_wmean": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                              CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS w
+                       FROM lineitem)
+            SELECT l_returnflag,
+                   CAST(sum(x * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+                     AS wmean_qty
+            FROM c GROUP BY l_returnflag
         """,
         "asof_forward_next_order": """
             SELECT e.event_id, e.user_id,

@@ -1868,7 +1868,10 @@ def moment_agg(
     * ``(col, kernel)`` with kernel in ``mean | var_pop | var_samp |
       std_pop | std_samp`` (SQL null convention: null values excluded);
     * ``(xcol, ycol, kernel)`` with kernel in ``covar_pop | covar_samp
-      | corr`` (rows where EITHER side is null excluded).
+      | corr | wmean`` (rows where EITHER side is null excluded;
+      ``wmean`` is the y-weighted mean of x: ``Σ(x·y) / Σy``, NULL
+      when the weight total is 0 — mirror the SQL expression
+      ``sum(x*y)/sum(y)`` exactly).
 
     Finalize order is FIXED so a SQL oracle reproduces bit-identical
     float64 (feed integer-valued columns whose partial sums stay below
@@ -1885,7 +1888,7 @@ def moment_agg(
     """
     keys = [key] if isinstance(key, str) else list(key)
     singles = {"mean", "var_pop", "var_samp", "std_pop", "std_samp"}
-    pairs = {"covar_pop", "covar_samp", "corr"}
+    pairs = {"covar_pop", "covar_samp", "corr", "wmean"}
     for out, spec in specs.items():
         kern = spec[-1]
         if kern in singles and len(spec) != 2:
@@ -1958,6 +1961,10 @@ def moment_agg(
                     sx = np.asarray(t.column(f"{out}__sx"), dtype=np.float64)
                     sy = np.asarray(t.column(f"{out}__sy"), dtype=np.float64)
                     sxy = np.asarray(t.column(f"{out}__sxy"), dtype=np.float64)
+                    if kern == "wmean":
+                        v, bad = sxy / sy, (n == 0) | (sy == 0)
+                        out_cols[out] = pa.array(v, pa.float64(), mask=bad)
+                        continue
                     cov = sxy - sx * (sy / n)
                     if kern == "corr":
                         sxx = np.asarray(t.column(f"{out}__sxx"), dtype=np.float64)
@@ -3000,4 +3007,40 @@ def grouped_normalize(
         ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
         .groupby("_bucket")
         .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def cross_join(
+    left: ray.data.Dataset,
+    right_table: pa.Table,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Cartesian product against a SMALL broadcast side (SQL CROSS
+    JOIN): every left row pairs with every right row. The right side is
+    an in-memory Table shipped once via ``ray.put`` (it multiplies the
+    output, so a large right side is a design error — this is the
+    parameter-grid / small-dimension expansion op). Map-only: per batch
+    the product is one left ``take`` over repeated indices + one tiled
+    right ``take`` — no shuffle. Name collisions take a ``_r`` suffix."""
+    if right_table.num_rows == 0:
+        raise ValueError("cross_join right side is empty")
+    ref = ray.put(right_table)
+
+    class Cross:
+        def __init__(self):
+            self.rt = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nl, nr = t.num_rows, self.rt.num_rows
+            li = pa.array(np.repeat(np.arange(nl, dtype=np.int64), nr))
+            ri = pa.array(np.tile(np.arange(nr, dtype=np.int64), nl))
+            lcols = {c: t.column(c).take(li) for c in t.column_names}
+            taken = set(lcols)
+            for c in self.rt.column_names:
+                name = f"{c}_r" if c in taken else c
+                lcols[name] = self.rt.column(c).take(ri)
+            return pa.table(lcols)
+
+    return left.map_batches(
+        Cross, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 4)
     )

@@ -1499,3 +1499,47 @@ def test_asof_join_forward_direction():
     # k=1 t=100 -> no forward match -> NULL
     # k=2 t=0   -> rt=60 rv=400 ; k=2 t=50 -> rt=60 rv=400
     assert out["rv"].fillna(-1).tolist() == [200, 300, -1, 400, 400]
+
+
+def test_cross_join_matches_sql():
+    lt = pa.table({"a": pa.array([1, 2, 3], pa.int64()), "x": pa.array(["p", "q", "r"])})
+    rt = pa.table({"b": pa.array([10, 20], pa.int64()), "x": pa.array(["u", "v"])})
+    from raycdc.ops import cross_join
+
+    out = cross_join(rd.from_arrow(lt).repartition(2), rt).to_pandas()
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    want = con.execute(
+        "SELECT l.a, l.x, r.b, r.x AS x_r FROM l CROSS JOIN r"
+    ).df()
+    key = ["a", "b"]
+    got = out.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.shape == want.shape
+    for c in ("a", "x", "b", "x_r"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_moment_agg_wmean_matches_sql():
+    t = _events(n=2000, seed=2803, with_nulls=True)
+    t = t.append_column("w", pc.add(pc.divide(t["cents"], 1000), 10))
+    from raycdc.ops import moment_agg
+
+    out = moment_agg(
+        rd.from_arrow(t).repartition(3), "etype",
+        {"wm": ("cents", "w", "wmean")},
+    ).to_pandas().sort_values("etype").reset_index(drop=True)
+    want = _duck(
+        t,
+        """
+        WITH p AS (SELECT etype, cents, w FROM events
+                   WHERE cents IS NOT NULL AND w IS NOT NULL)
+        SELECT etype,
+               CAST(sum(cents * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS wm
+        FROM p GROUP BY etype
+        """,
+    ).to_pandas().sort_values("etype").reset_index(drop=True)
+    a, b = out["wm"].to_numpy(), want["wm"].to_numpy()
+    nn = np.isnan(a) & np.isnan(b)
+    assert ((a == b) | nn).all()  # bit-exact
