@@ -2729,20 +2729,20 @@ def profile_columns(
     ``n_null``, ``n_distinct`` and stringified ``min`` / ``max`` — the
     pre-training data-audit summary.
 
-    Shape: n/null/min/max fold as ONE combiner groupby over per-batch
-    partials (constant key per column — bin-cardinality shuffle).
-    Distinct is exact via a per-batch-deduped value shuffle per column
-    (the grouped_nunique pattern; set ``approx_distinct=True`` to use
-    the HyperLogLog path when values-per-batch is too wide). min/max
-    compare in the column's own type, then stringify for the unified
-    schema."""
+    Shape: n/null/min/max fold as per-column combiner groupbys over
+    one-row per-batch partials (no row shuffle; min/max compare in the
+    column's NATIVE type and stringify only at the end — a string fold
+    would compare '100' < '99'). Distinct counts for ALL columns ride
+    ONE melted (column, value) pair-dedup shuffle (the grouped_nunique
+    pattern with the column name in the bucket key — one exchange total
+    instead of one per column; ``approx_distinct=True`` switches to the
+    HyperLogLog sketch when per-batch value sets are too wide)."""
     parts = []
     for c in cols:
         def stamp(t: pa.Table, c=c) -> pa.Table:
             v = t.column(c)
             valid = v.filter(pc.is_valid(v))
-            # min/max stay NATIVE-typed through the fold (stringified
-            # per-batch minima would compare lexicographically: "100" < "99")
+            # min/max stay NATIVE-typed through the fold
             mn = pc.min(valid) if len(valid) else pa.scalar(None, v.type)
             mx = pc.max(valid) if len(valid) else pa.scalar(None, v.type)
             return pa.table(
@@ -2772,45 +2772,40 @@ def profile_columns(
                 }
             )
 
-        stats = partial_groupby_agg(
-            ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size),
-            "column",
-            {
-                "n_rows": ("n_rows", "sum"),
-                "n_null": ("n_null", "sum"),
-                "min": ("min", "min"),
-                "max": ("max", "max"),
-            },
-            batch_size=batch_size,
-        ).map_batches(stringify, batch_format="pyarrow")
-
-        if approx_distinct:
-            nd = grouped_nunique_approx(
-                ds.map_batches(
-                    lambda t, c=c: pa.table(
-                        {"column": pa.array(np.full(t.num_rows, c, object), pa.string()),
-                         "_v": t.column(c).cast(pa.string())}
-                    ),
-                    batch_format="pyarrow", batch_size=batch_size,
-                ),
-                "column", "_v", out_col="n_distinct",
-            )
-        else:
-            nd = grouped_nunique(
-                ds.map_batches(
-                    lambda t, c=c: pa.table(
-                        {"column": pa.array(np.full(t.num_rows, c, object), pa.string()),
-                         "_v": t.column(c).cast(pa.string())}
-                    ),
-                    batch_format="pyarrow", batch_size=batch_size,
-                ),
-                "column", "_v", out_col="n_distinct",
-            )
-        parts.append(hash_join(stats, nd, "column", how="left"))
-    out = parts[0]
+        parts.append(
+            partial_groupby_agg(
+                ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size),
+                "column",
+                {
+                    "n_rows": ("n_rows", "sum"),
+                    "n_null": ("n_null", "sum"),
+                    "min": ("min", "min"),
+                    "max": ("max", "max"),
+                },
+                batch_size=batch_size,
+            ).map_batches(stringify, batch_format="pyarrow")
+        )
+    stats = parts[0]
     for p in parts[1:]:
-        out = out.union(p)
-    return out
+        stats = stats.union(p)
+
+    def melt(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in cols:
+            outs.append(
+                pa.table(
+                    {
+                        "column": pa.array(np.full(t.num_rows, c, object), pa.string()),
+                        "_v": t.column(c).cast(pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    melted = ds.map_batches(melt, batch_format="pyarrow", batch_size=batch_size)
+    nd_fn = grouped_nunique_approx if approx_distinct else grouped_nunique
+    nd = nd_fn(melted, "column", "_v", out_col="n_distinct")
+    return hash_join(stats, nd, "column", how="left")
 
 
 def grouped_zscore(
