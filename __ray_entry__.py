@@ -2128,6 +2128,147 @@ def q_docs_outlier_filter(sf_dir: str):
     )
 
 
+def q_lineitem_moments(sf_dir: str):
+    """Per-flag population SKEWNESS and excess KURTOSIS of the (integer)
+    quantity — the higher-moment members of the moment_agg combiner
+    family. Whole units keep Σx⁴ ≤ 6.25e6·n ≪ 2**53 (float64-exact
+    through sf100), and the finalize uses only +,-,*,/,sqrt, so the
+    oracle's identical expression over identical exact sums is
+    bit-equal with NO rounding step."""
+    from raycdc.ops import moment_agg
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "qty": pc.divide(
+                    pc.round(pc.multiply(t["l_quantity"], 100.0)).cast(pa.int64()),
+                    pa.scalar(100, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return moment_agg(
+        li, "l_returnflag",
+        {"skew_qty": ("qty", "skew_pop"), "kurt_qty": ("qty", "kurt_pop")},
+    )
+
+
+def q_orders_mad(sf_dir: str):
+    """Per-priority MEDIAN + MAD of the order total in exact integer
+    cents — the robust-statistics aggregate (median absolute deviation).
+    At q=0.5 every interpolated intermediate is an exact multiple of
+    0.25, so the match vs DuckDB median()/mad() is bit-exact with no
+    rounding contract."""
+    from raycdc.ops import grouped_mad
+
+    o = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_mad(o, "o_orderpriority", "cents")
+
+
+def q_events_entropy(sf_dir: str):
+    """Per-user Shannon entropy (log2) of the event-type distribution —
+    the behavioral-diversity aggregate. Combiner value-counts per batch,
+    one shuffle keyed on user; counts are exact, the log2 sum rounds to
+    6 digits on BOTH sides (the oracle is ROUND(entropy(..), 6))."""
+    from raycdc.ops import grouped_entropy
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["user_id", "event_type"]), batch_format="pyarrow"
+    )
+    return grouped_entropy(ev, "user_id", "event_type")
+
+
+def q_orders_argmax(sf_dir: str):
+    """Per-customer ARG_MAX: the order key of the customer's highest
+    total, tie-broken to the SMALLEST key — SQL arg_max is
+    tie-nondeterministic, so the oracle is the deterministic window
+    form (row_number ORDER BY val DESC, arg ASC = 1). Combiner shape:
+    every batch reduces to one candidate per key before the one tiny
+    shuffle."""
+    from raycdc.ops import grouped_arg_extreme
+
+    o = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice", "o_orderkey"],
+    )
+    return grouped_arg_extreme(
+        o, "o_custkey", "o_totalprice", "o_orderkey",
+        mode="max", out_val="best_total", out_arg="best_order",
+    )
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort-retention matrix: users bucketed by FIRST-seen week
+    (cohort), distinct active users per (cohort_week, week). The 100-TB
+    shape: per-user first week via the partial-agg combiner (one tiny
+    shuffle of per-batch minima), cohort attached back with ONE bounded
+    hash join, then the pair-dedup distinct combiner counts users — the
+    (cohort, week) pair is packed into one int64 so the distinct
+    shuffle stays a single-key pair dedup, and unpacked in the
+    finalize."""
+    from raycdc.ops import grouped_nunique, hash_join, partial_groupby_agg
+
+    week_us = 7 * 86400 * 1_000_000
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "week": pc.divide(t["ts"].cast(pa.int64()),
+                                  pa.scalar(week_us, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cohort = partial_groupby_agg(ev, "user_id", {"cohort_week": ("week", "min")})
+    joined = hash_join(ev, cohort, key="user_id")
+    PACK = 1 << 20  # weeks ≪ 2**20: (cohort, week) packs losslessly
+    packed = joined.map_batches(
+        lambda t: pa.table(
+            {
+                "cw": pc.add(
+                    pc.multiply(t["cohort_week"], pa.scalar(PACK, pa.int64())),
+                    t["week"],
+                ),
+                "user_id": t["user_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    counts = grouped_nunique(packed, "cw", "user_id", out_col="users")
+    return counts.map_batches(
+        lambda t: pa.table(
+            {
+                "cohort_week": pc.divide(t["cw"], pa.scalar(PACK, pa.int64())),
+                "week": pc.subtract(
+                    t["cw"],
+                    pc.multiply(
+                        pc.divide(t["cw"], pa.scalar(PACK, pa.int64())),
+                        pa.scalar(PACK, pa.int64()),
+                    ),
+                ),
+                "users": t["users"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -2231,6 +2372,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_by_flag": q12_priority_by_flag,
         "q14_promo_share": q14_promo_share,
         "docs_outlier_filter": q_docs_outlier_filter,
+        "lineitem_moments": q_lineitem_moments,
+        "orders_mad": q_orders_mad,
+        "events_entropy": q_events_entropy,
+        "orders_argmax": q_orders_argmax,
+        "events_retention": q_events_retention,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -2970,6 +3116,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.n_chars
             FROM documents d JOIN q ON q.lang = d.lang
             WHERE d.n_chars <= q.p99
+        """,
+        "lineitem_moments": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(round(l_quantity * 100) AS BIGINT) // 100 AS x
+                       FROM lineitem),
+            p AS (SELECT l_returnflag,
+                         CAST(count(x) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS s,
+                         CAST(sum(x*x) AS DOUBLE) AS q,
+                         CAST(sum(x*x*x) AS DOUBLE) AS c3,
+                         CAST(sum(x*x*x*x) AS DOUBLE) AS c4
+                  FROM c GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   (c3/n - 3.0*(s/n)*(q/n) + 2.0*((s/n)*(s/n))*(s/n))
+                     / ((q/n - (s/n)*(s/n)) * sqrt(q/n - (s/n)*(s/n)))
+                     AS skew_qty,
+                   (c4/n - 4.0*(s/n)*(c3/n) + 6.0*((s/n)*(s/n))*(q/n)
+                      - 3.0*(((s/n)*(s/n))*((s/n)*(s/n))))
+                     / ((q/n - (s/n)*(s/n)) * (q/n - (s/n)*(s/n))) - 3.0
+                     AS kurt_qty
+            FROM p
+        """,
+        "orders_mad": """
+            WITH c AS (SELECT o_orderpriority,
+                              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                       FROM orders WHERE o_totalprice IS NOT NULL)
+            SELECT o_orderpriority, median(cents) AS med, mad(cents) AS mad
+            FROM c GROUP BY o_orderpriority
+        """,
+        "events_entropy": """
+            SELECT user_id, ROUND(entropy(event_type), 6) AS entropy
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY user_id
+        """,
+        "orders_argmax": """
+            SELECT o_custkey, o_totalprice AS best_total, o_orderkey AS best_order
+            FROM (SELECT o_custkey, o_totalprice, o_orderkey,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC,
+                                                     o_orderkey ASC) AS rn
+                  FROM orders WHERE o_totalprice IS NOT NULL)
+            WHERE rn = 1
+        """,
+        "events_retention": """
+            WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
+                       FROM events),
+            c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+            SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
+            FROM w JOIN c ON c.user_id = w.user_id
+            GROUP BY 1, 2
         """,
         "events_hourly_window": """
             SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)

@@ -1885,9 +1885,21 @@ def moment_agg(
         covar_pop = cov / n ; covar_samp = cov / (n - 1)
         corr      = cov / sqrt((sxx - sx*(sx/n)) * (syy - sy*(sy/n)))
                     (NULL when either variance term is 0)
+        skew_pop  = m3 / (m2 * sqrt(m2))        (NULL when m2 <= 0)
+        kurt_pop  = m4 / (m2 * m2) - 3.0        (excess; NULL when m2 <= 0)
+          with  m2 = q/n - mean*mean
+                m3 = c3/n - 3.0*mean*(q/n) + 2.0*(mean*mean)*mean
+                m4 = c4/n - 4.0*mean*(c3/n) + 6.0*(mean*mean)*(q/n)
+                     - 3.0*((mean*mean)*(mean*mean))
+          (only +,-,*,/ and sqrt — every op IEEE-deterministic, so a SQL
+          oracle spelling the identical expression over the identical
+          exact sums reproduces bit-equal doubles; for the higher
+          moments the exactness contract tightens to n·max|x|⁴ < 2**53)
     """
     keys = [key] if isinstance(key, str) else list(key)
-    singles = {"mean", "var_pop", "var_samp", "std_pop", "std_samp"}
+    singles = {"mean", "var_pop", "var_samp", "std_pop", "std_samp",
+               "skew_pop", "kurt_pop"}
+    cubics = {"skew_pop", "kurt_pop"}
     pairs = {"covar_pop", "covar_samp", "corr", "wmean"}
     for out, spec in specs.items():
         kern = spec[-1]
@@ -1905,9 +1917,14 @@ def moment_agg(
             if spec[-1] in singles:
                 v = t.column(spec[0]).cast(pa.float64())
                 cols[f"{out}__s"] = v
-                cols[f"{out}__q"] = pc.multiply(v, v)
+                q = pc.multiply(v, v)
+                cols[f"{out}__q"] = q
                 aggs += [(f"{out}__s", "count"), (f"{out}__s", "sum"),
                          (f"{out}__q", "sum")]
+                if spec[-1] in cubics:
+                    cols[f"{out}__c3"] = pc.multiply(q, v)
+                    cols[f"{out}__c4"] = pc.multiply(q, q)
+                    aggs += [(f"{out}__c3", "sum"), (f"{out}__c4", "sum")]
             else:
                 x = t.column(spec[0]).cast(pa.float64())
                 y = t.column(spec[1]).cast(pa.float64())
@@ -1930,12 +1947,13 @@ def moment_agg(
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
     part_cols = []
     for out, spec in specs.items():
-        part_cols += (
-            [f"{out}__n", f"{out}__s", f"{out}__q"]
-            if spec[-1] in singles
-            else [f"{out}__n", f"{out}__sx", f"{out}__sy", f"{out}__sxy",
-                  f"{out}__sxx", f"{out}__syy"]
-        )
+        if spec[-1] in singles:
+            part_cols += [f"{out}__n", f"{out}__s", f"{out}__q"]
+            if spec[-1] in cubics:
+                part_cols += [f"{out}__c3", f"{out}__c4"]
+        else:
+            part_cols += [f"{out}__n", f"{out}__sx", f"{out}__sy",
+                          f"{out}__sxy", f"{out}__sxx", f"{out}__syy"]
     folded = partials.groupby(keys).aggregate(
         *[Sum(c, alias_name=c) for c in part_cols]
     )
@@ -1951,6 +1969,21 @@ def moment_agg(
                     q = np.asarray(t.column(f"{out}__q"), dtype=np.float64)
                     if kern == "mean":
                         v, bad = s / n, n == 0
+                    elif kern in cubics:
+                        c3 = np.asarray(t.column(f"{out}__c3"), dtype=np.float64)
+                        c4 = np.asarray(t.column(f"{out}__c4"), dtype=np.float64)
+                        mean, qn = s / n, q / n
+                        m2 = qn - mean * mean
+                        if kern == "skew_pop":
+                            m3 = (c3 / n - 3.0 * mean * qn
+                                  + 2.0 * (mean * mean) * mean)
+                            v = m3 / (m2 * np.sqrt(m2))
+                        else:
+                            m4 = (c4 / n - 4.0 * mean * (c3 / n)
+                                  + 6.0 * (mean * mean) * qn
+                                  - 3.0 * ((mean * mean) * (mean * mean)))
+                            v = m4 / (m2 * m2) - 3.0
+                        bad = (n == 0) | ~(m2 > 0)
                     else:
                         m2 = q - s * (s / n)
                         den = n if kern.endswith("pop") else n - 1
@@ -3038,4 +3071,175 @@ def cross_join(
 
     return left.map_batches(
         Cross, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 4)
+    )
+
+
+def grouped_mad(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    med_col: str | None = "med",
+    mad_col: str = "mad",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key MEDIAN + MAD (SQL ``median(x)`` / ``mad(x)`` =
+    ``median(abs(x - median(x)))``), both interpolated at q=0.5.
+
+    Exactness: at q=0.5 the interpolation weight is 0 or exactly 0.5,
+    so on integer-valued inputs every intermediate (median, |x-med|,
+    second median) is an exact multiple of 0.25 — bit-equal to DuckDB
+    with no rounding step, regardless of summation order (there is
+    none). Shape: ONE bounded hash-bucket shuffle on ``key``; in-bucket
+    both medians come from vectorized sorts — sort by (key, col) for
+    the first, one ``np.lexsort`` of (run, |dev|) for the second; per
+    group, interpolated rank gathers only. NULL values are dropped
+    up-front (oracle: ``WHERE x IS NOT NULL``); NULL keys one group."""
+    from raycdc.util import bucket_of
+
+    def stamp(t: pa.Table) -> pa.Table:
+        t = t.select([key, col]).filter(pc.is_valid(t.column(col)))
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def _interp_median(xs: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        # DuckDB quantile_cont arithmetic at q=0.5: RN=(n-1)*0.5,
+        # v_lo*(1-d) + v_hi*d with d in {0.0, 0.5} — exact on halves.
+        rn = (lens - 1) * 0.5
+        lo = np.floor(rn)
+        d = rn - lo
+        ilo = starts + lo.astype(np.int64)
+        ihi = np.minimum(ilo + 1, starts + lens - 1)
+        return xs[ilo] * (1.0 - d) + xs[ihi] * d
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[(key, "ascending"), (col, "ascending")])
+        ).combine_chunks()
+        n = g.num_rows
+        if n == 0:
+            out = {key: g.column(key), mad_col: pa.array([], pa.float64())}
+            if med_col is not None:
+                out = {key: g.column(key), med_col: pa.array([], pa.float64()),
+                       mad_col: pa.array([], pa.float64())}
+            return pa.table(out)
+        new_key = _run_boundaries(g.column(key), n)
+        starts = np.flatnonzero(new_key)
+        lens = np.r_[starts[1:], n] - starts
+        xs = np.asarray(g.column(col).cast(pa.float64()))
+        med = _interp_median(xs, starts, lens)
+        run = np.cumsum(new_key) - 1
+        dev = np.abs(xs - np.repeat(med, lens))
+        order = np.lexsort((dev, run))
+        mad = _interp_median(dev[order], starts, lens)
+        out = {key: g.column(key).take(pa.array(starts))}
+        if med_col is not None:
+            out[med_col] = pa.array(med, pa.float64())
+        out[mad_col] = pa.array(mad, pa.float64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    out_col: str = "entropy",
+    ndigits: int = 6,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key Shannon entropy over the VALUE DISTRIBUTION of ``col``
+    (SQL ``entropy(x)``, log base 2): H = -Σ (c/n)·log2(c/n) over the
+    distinct-value counts c. Counts are exact integers; the float sum
+    order differs from any SQL engine's hash-table order, so BOTH sides
+    round to ``ndigits`` (oracle: ``ROUND(entropy(x), 6)``) — the one
+    aggregate in this family published with a rounding contract.
+
+    Shape: combiner groupby — per-batch (key, value, count) partials
+    (O(distinct per batch) rows leave each task), ONE shuffle keyed on
+    ``key``, in-group count merge + finalize vectorized with numpy.
+    NULL values excluded (DuckDB entropy ignores NULLs); NULL keys one
+    group."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([key, col]).filter(pc.is_valid(t.column(col)))
+        return t.group_by([key, col]).aggregate([(col, "count")]).rename_columns(
+            [key, col, "_cnt"]
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        # merge per-batch partial counts for the same value first
+        m = g.group_by([key, col]).aggregate([("_cnt", "sum")])
+        c = np.asarray(m.column("_cnt_sum"), dtype=np.float64)
+        n = c.sum()
+        p = c / n
+        h = float(-(p * np.log2(p)).sum()) if n > 0 else 0.0
+        return pa.table({key: m.column(key).slice(0, 1),
+                         out_col: pa.array([round(h, ndigits)], pa.float64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(key)
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+def grouped_arg_extreme(
+    ds: ray.data.Dataset,
+    key: str,
+    val_col: str,
+    arg_col: str,
+    mode: str = "max",
+    out_val: str | None = "val",
+    out_arg: str = "arg",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key ARG_MAX / ARG_MIN with a DETERMINISTIC tie-break (the
+    smallest ``arg`` among rows sharing the extreme value) — SQL
+    ``arg_max(arg, val)`` is tie-nondeterministic, so the published
+    oracle form is the window equivalent::
+
+        row_number() OVER (PARTITION BY key
+                           ORDER BY val DESC, arg ASC) = 1   -- mode=max
+
+    Shape: combiner groupby — each batch reduces to one candidate row
+    per key present (vectorized sort + run-boundary take, no Python
+    rows), then ONE tiny shuffle of O(keys × batches) rows re-reduces
+    per key. NULL vals are excluded; a key whose vals are all NULL is
+    dropped (mirror ``WHERE val IS NOT NULL``)."""
+    if mode not in ("max", "min"):
+        raise ValueError("mode must be 'max' or 'min'")
+    vdir = "descending" if mode == "max" else "ascending"
+
+    def reduce_one(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(val_col)))
+        n = t.num_rows
+        if n == 0:
+            return t
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (key, "ascending"), (val_col, vdir), (arg_col, "ascending")
+        ])).combine_chunks()
+        starts = np.flatnonzero(_run_boundaries(t.column(key), t.num_rows))
+        return t.take(pa.array(starts))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return reduce_one(t.select([key, val_col, arg_col]))
+
+    def finalize(g: pa.Table) -> pa.Table:
+        r = reduce_one(g)
+        out = {key: r.column(key)}
+        if out_val is not None:
+            out[out_val] = r.column(val_col)
+        out[out_arg] = r.column(arg_col)
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(key)
+        .map_groups(finalize, batch_format="pyarrow")
     )

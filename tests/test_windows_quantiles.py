@@ -1543,3 +1543,120 @@ def test_moment_agg_wmean_matches_sql():
     a, b = out["wm"].to_numpy(), want["wm"].to_numpy()
     nn = np.isnan(a) & np.isnan(b)
     assert ((a == b) | nn).all()  # bit-exact
+
+
+def test_moment_agg_skew_kurt_bitexact_vs_sql():
+    t = _events(n=3000, seed=911, with_nulls=True)
+    t = t.append_column("x", pc.add(pc.divide(t["cents"], 1000), 3))  # small ints
+    from raycdc.ops import moment_agg
+
+    out = moment_agg(
+        rd.from_arrow(t).repartition(4), "etype",
+        {"sk": ("x", "skew_pop"), "ku": ("x", "kurt_pop")},
+    ).to_pandas().sort_values("etype").reset_index(drop=True)
+    want = _duck(
+        t,
+        """
+        WITH c AS (SELECT etype, x FROM events WHERE x IS NOT NULL),
+        p AS (SELECT etype, CAST(count(x) AS DOUBLE) n, CAST(sum(x) AS DOUBLE) s,
+                     CAST(sum(x*x) AS DOUBLE) q, CAST(sum(x*x*x) AS DOUBLE) c3,
+                     CAST(sum(x*x*x*x) AS DOUBLE) c4
+              FROM c GROUP BY etype)
+        SELECT etype,
+               (c3/n - 3.0*(s/n)*(q/n) + 2.0*((s/n)*(s/n))*(s/n))
+                 / ((q/n - (s/n)*(s/n)) * sqrt(q/n - (s/n)*(s/n))) AS sk,
+               (c4/n - 4.0*(s/n)*(c3/n) + 6.0*((s/n)*(s/n))*(q/n)
+                  - 3.0*(((s/n)*(s/n))*((s/n)*(s/n))))
+                 / ((q/n - (s/n)*(s/n)) * (q/n - (s/n)*(s/n))) - 3.0 AS ku
+        FROM p
+        """,
+    ).to_pandas().sort_values("etype").reset_index(drop=True)
+    for c in ("sk", "ku"):
+        a, b = out[c].to_numpy(), want[c].to_numpy()
+        nn = np.isnan(a) & np.isnan(b)
+        assert ((a == b) | nn).all()  # bit-exact
+
+
+def test_moment_agg_skew_constant_group_is_null():
+    t = pa.table({"k": ["a"] * 5, "x": [7] * 5})
+    from raycdc.ops import moment_agg
+
+    df = moment_agg(rd.from_arrow(t), "k", {"sk": ("x", "skew_pop")}).to_pandas()
+    assert df["sk"].isna().all()  # zero variance -> NULL, not inf
+
+
+def test_grouped_mad_bitexact_vs_duckdb_median_mad():
+    t = _events(n=2500, seed=1213, with_nulls=True)
+    from raycdc.ops import grouped_mad
+
+    out = (
+        grouped_mad(rd.from_arrow(t).repartition(3), "etype", "cents")
+        .to_pandas().sort_values("etype").reset_index(drop=True)
+    )
+    want = _duck(
+        t,
+        """
+        SELECT etype, median(cents) AS med, mad(cents) AS mad
+        FROM events WHERE cents IS NOT NULL GROUP BY etype
+        """,
+    ).to_pandas().sort_values("etype").reset_index(drop=True)
+    assert (out["med"].to_numpy() == want["med"].to_numpy()).all()
+    assert (out["mad"].to_numpy() == want["mad"].to_numpy()).all()
+
+
+def test_grouped_mad_single_value_group():
+    t = pa.table({"k": ["a", "b", "b"], "x": [10, 4, 8]})
+    from raycdc.ops import grouped_mad
+
+    df = grouped_mad(rd.from_arrow(t), "k", "x").to_pandas().set_index("k")
+    assert df.loc["a", "med"] == 10.0 and df.loc["a", "mad"] == 0.0
+    assert df.loc["b", "med"] == 6.0 and df.loc["b", "mad"] == 2.0
+
+
+def test_grouped_entropy_matches_duckdb_round6():
+    t = _events(n=2000, seed=77, with_nulls=True)
+    from raycdc.ops import grouped_entropy
+
+    out = (
+        grouped_entropy(rd.from_arrow(t).repartition(3), "user_id", "etype")
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = _duck(
+        t,
+        """
+        SELECT user_id, ROUND(entropy(etype), 6) AS entropy
+        FROM events WHERE etype IS NOT NULL GROUP BY user_id
+        """,
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert (out["entropy"].to_numpy() == want["entropy"].to_numpy()).all()
+
+
+def test_grouped_arg_extreme_matches_window_form():
+    t = _events(n=2000, seed=3001, with_nulls=True)
+    from raycdc.ops import grouped_arg_extreme
+
+    for mode, d in (("max", "DESC"), ("min", "ASC")):
+        out = (
+            grouped_arg_extreme(
+                rd.from_arrow(t).repartition(4), "user_id", "cents", "event_id",
+                mode=mode,
+            )
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        want = _duck(
+            t,
+            f"""
+            SELECT user_id, cents AS val, event_id AS arg
+            FROM (SELECT user_id, cents, event_id,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY cents {d}, event_id ASC) rn
+                  FROM events WHERE cents IS NOT NULL)
+            WHERE rn = 1
+            """,
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        # null keys: SQL keeps NULL partition; engine keeps one NULL group too
+        assert len(out) == len(want)
+        ok = (out["val"].to_numpy() == want["val"].to_numpy()) & (
+            out["arg"].to_numpy() == want["arg"].to_numpy()
+        )
+        assert ok.all()
