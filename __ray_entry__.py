@@ -2269,6 +2269,23 @@ def q_events_retention(sf_dir: str):
     )
 
 
+def q_docs_edit_distance(sf_dir: str):
+    """Blocked Levenshtein similarity join (the typo-grade near-dup
+    member of the dedup family): pairs within the same (first-4-chars,
+    length//32) block at unit-cost edit distance ≤ 20. The DP kernel is
+    vectorized ACROSS pairs (one numpy pass per character row, min-plus
+    prefix scan for the insertion dependency); the oracle is the exact
+    SQL self-join on the identical block key + ``levenshtein()``."""
+    from raycdc.extras.dedup import edit_distance_pairs
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return edit_distance_pairs(
+        docs, "text", "doc_id", max_dist=20, block_chars=4, len_bucket=32,
+    )
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -2377,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_entropy": q_events_entropy,
         "orders_argmax": q_orders_argmax,
         "events_retention": q_events_retention,
+        "docs_edit_distance": q_docs_edit_distance,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3165,6 +3183,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
+        """,
+        "docs_edit_distance": """
+            WITH d AS (SELECT doc_id, text,
+                              substr(text, 1, 4) || '|' ||
+                              CAST(length(text) // 32 AS VARCHAR) AS blk
+                       FROM documents WHERE text IS NOT NULL)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(a.text, b.text) AS dist
+            FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.text, b.text) <= 20
         """,
         "events_hourly_window": """
             SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from raycdc.ops import partial_groupby_agg
+from raycdc.ops import _run_boundaries, partial_groupby_agg
 
 _MERSENNE = (1 << 61) - 1
 
@@ -801,4 +801,156 @@ def exact_jaccard_pairs(
 
     return co.map_batches(stamp_pair, batch_format="pyarrow").groupby("_bucket").map_groups(
         score, batch_format="pyarrow"
+    )
+
+
+def _utf8_matrix(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string array → (uint8 char matrix padded with 0, lengths),
+    built from the Arrow offsets/data buffers with one fancy-index gather
+    — no per-row Python. Contract: ASCII/byte-level distance (byte ==
+    character for ASCII corpora; a multi-byte corpus would diverge from
+    character-wise SQL levenshtein)."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    wide = pa.types.is_large_string(arr.type)
+    odt, osz = (np.int64, 8) if wide else (np.int32, 4)
+    off = np.frombuffer(arr.buffers()[1], dtype=odt,
+                        count=len(arr) + 1, offset=arr.offset * osz)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.zeros(0, np.uint8)
+    lens = (off[1:] - off[:-1]).astype(np.int64)
+    lmax = int(lens.max()) if len(lens) else 0
+    mat = np.zeros((len(arr), max(lmax, 1)), dtype=np.uint8)
+    if len(data) and lmax:
+        idx = off[:-1, None].astype(np.int64) + np.arange(lmax, dtype=np.int64)
+        valid = np.arange(lmax)[None, :] < lens[:, None]
+        np.copyto(mat, data[np.minimum(idx, len(data) - 1)], where=valid)
+    return mat, lens
+
+
+def levenshtein_pairs_np(
+    mat: np.ndarray, lens: np.ndarray, ia: np.ndarray, ib: np.ndarray
+) -> np.ndarray:
+    """Unit-cost Levenshtein for PAIRS of rows of a char matrix,
+    vectorized across pairs: the Wagner-Fischer recurrence runs one
+    Python iteration per character of the longer side, each a full-width
+    numpy pass over (pairs × Lmax); the in-row insertion dependency
+    dp[j] = min(dp[j], dp[j-1]+1) is the min-plus prefix scan
+    ``j + cummin(cand[j] - j)`` (np.minimum.accumulate), so nothing
+    iterates per pair."""
+    P = len(ia)
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    A, la = mat[ia], lens[ia]
+    B, lb = mat[ib], lens[ib]
+    Lb = int(lb.max()) if P else 0
+    dp = np.broadcast_to(np.arange(Lb + 1, dtype=np.int64), (P, Lb + 1)).copy()
+    jj = np.arange(Lb + 1, dtype=np.int64)
+    for i in range(1, int(la.max()) + 1):
+        sub = (A[:, i - 1][:, None] != B[:, :Lb]).astype(np.int64)
+        cand = np.empty_like(dp)
+        cand[:, 0] = i
+        # substitution / deletion candidates (no insertion yet)
+        np.minimum(dp[:, :-1] + sub, dp[:, 1:] + 1, out=cand[:, 1:])
+        # insertion = min-plus prefix scan along j
+        np.subtract(cand, jj, out=cand)
+        np.minimum.accumulate(cand, axis=1, out=cand)
+        np.add(cand, jj, out=cand)
+        alive = i <= la
+        dp[alive] = cand[alive]
+    return dp[np.arange(P), lb]
+
+
+def edit_distance_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 20,
+    block_chars: int = 4,
+    len_bucket: int = 32,
+    max_block: int | None = None,
+    num_buckets: int = 64,
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Blocked edit-distance similarity join: emit (id_a, id_b, dist)
+    for id_a < id_b with unit-cost Levenshtein ≤ ``max_dist``, candidates
+    restricted to the same BLOCK — (first ``block_chars`` chars,
+    length // ``len_bucket``) — the standard prefix+length blocking for
+    typo-grade near-dups (SQL: self-join on the identical block key).
+
+    Scale shape: ONE bounded shuffle of (id, text, block) rows bucketed
+    by block hash; in-bucket all-pairs DP is vectorized across pairs
+    (:func:`levenshtein_pairs_np`). ``max_block`` (when set) SKIPS
+    whole degenerate blocks — mirrored in SQL as ``HAVING count(*) <=
+    max_block`` so the oracle stays exact. NULL texts drop up-front."""
+    from raycdc.util import bucket_of
+
+    def stamp(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, text_col]).filter(pc.is_valid(t.column(text_col)))
+        blk = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(t.column(text_col), 0, block_chars),
+            pc.cast(
+                pc.divide(pc.utf8_length(t.column(text_col)),
+                          pa.scalar(len_bucket, pa.int64())),
+                pa.string(),
+            ),
+            "|",
+        )
+        t = t.append_column("_blk", blk)
+        return t.append_column("_bucket", pa.array(bucket_of(blk, num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[("_blk", "ascending"), (id_col, "ascending")])
+        ).combine_chunks()
+        n = g.num_rows
+        empty = pa.table({
+            "id_a": pa.array([], g.schema.field(id_col).type),
+            "id_b": pa.array([], g.schema.field(id_col).type),
+            "dist": pa.array([], pa.int64()),
+        })
+        if n < 2:
+            return empty
+        new_blk = _run_boundaries(g.column("_blk"), n)
+        run = np.cumsum(new_blk) - 1
+        starts = np.flatnonzero(new_blk)
+        lens_r = np.r_[starts[1:], n] - starts
+        if max_block is not None:
+            keep_run = lens_r <= max_block
+            keep = keep_run[run]
+            g = g.filter(pa.array(keep)).combine_chunks()
+            n = g.num_rows
+            if n < 2:
+                return empty
+            new_blk = _run_boundaries(g.column("_blk"), n)
+            run = np.cumsum(new_blk) - 1
+            starts = np.flatnonzero(new_blk)
+            lens_r = np.r_[starts[1:], n] - starts
+        # all i<j pairs per run, vectorized: for each row its run-local
+        # position p and run start s -> pair (k, j) for every k in [s, s+p)
+        pos = np.arange(n) - starts[run]
+        reps = pos  # row j pairs with the `pos` rows before it in its run
+        ib = np.repeat(np.arange(n), reps)
+        off = np.concatenate(([0], np.cumsum(reps)))
+        ia = (np.arange(off[-1]) - off[ib]) + starts[run][ib]
+        if len(ia) == 0:
+            return empty
+        mat, lens_c = _utf8_matrix(g.column(text_col))
+        # length prefilter: |la-lb| > max_dist can never pass
+        la, lb = lens_c[ia], lens_c[ib]
+        ok = np.abs(la - lb) <= max_dist
+        ia, ib = ia[ok], ib[ok]
+        dist = levenshtein_pairs_np(mat, lens_c, ia, ib)
+        hit = dist <= max_dist
+        ia, ib, dist = ia[hit], ib[hit], dist[hit]
+        ids = g.column(id_col)
+        return pa.table({
+            "id_a": ids.take(pa.array(ia)),
+            "id_b": ids.take(pa.array(ib)),
+            "dist": pa.array(dist, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
     )

@@ -737,3 +737,63 @@ def test_doc_frequency_matches_duckdb():
     assert got.shape == want.shape
     assert (got["word"].to_numpy() == want["word"].to_numpy()).all()
     assert (got["df"].to_numpy() == want["df"].to_numpy()).all()
+
+
+def test_edit_distance_pairs_matches_duckdb_blocked_join():
+    import duckdb
+    import random
+
+    from raycdc.extras.dedup import edit_distance_pairs
+
+    rng = random.Random(31)
+    base = ["the quick brown fox jumps over the lazy dog " * 2,
+            "pack my box with five dozen liquor jugs " * 2,
+            "now is the time for all good people to come " * 2]
+    texts, ids = [], []
+    for i in range(120):
+        s = base[i % 3]
+        # typo-grade mutations keep the prefix block stable
+        pos = rng.randint(8, len(s) - 2)
+        s = s[:pos] + rng.choice("xyz") + s[pos + 1:]
+        if rng.random() < 0.3:
+            s = s[:pos] + s[pos + 1:]
+        texts.append(s)
+        ids.append(f"d{i:04d}")
+    texts += ["", "", "ab"]  # empty strings: dist("","")=0 pairs too
+    ids += ["e0001", "e0002", "e0003"]
+    t = pa.table({"doc_id": ids, "text": texts})
+
+    out = (
+        edit_distance_pairs(rd.from_arrow(t).repartition(3),
+                            max_dist=6, block_chars=4, len_bucket=32)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+        WITH d AS (SELECT doc_id, text,
+                          substr(text, 1, 4) || '|' ||
+                          CAST(length(text) // 32 AS VARCHAR) AS blk
+                   FROM documents WHERE text IS NOT NULL)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(a.text, b.text) AS dist
+        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= 6
+        ORDER BY id_a, id_b
+    """).df().reset_index(drop=True)
+    assert len(out) == len(want) and len(out) > 0
+    assert (out["id_a"].to_numpy() == want["id_a"].to_numpy()).all()
+    assert (out["id_b"].to_numpy() == want["id_b"].to_numpy()).all()
+    assert (out["dist"].to_numpy() == want["dist"].to_numpy()).all()
+
+
+def test_edit_distance_pairs_max_block_skips_degenerate_blocks():
+    from raycdc.extras.dedup import edit_distance_pairs
+
+    # 50 identical texts -> one block of 50; max_block=10 skips it whole
+    t = pa.table({"doc_id": [f"d{i}" for i in range(50)],
+                  "text": ["same exact text here"] * 50})
+    out = edit_distance_pairs(rd.from_arrow(t), max_dist=5, max_block=10).to_pandas()
+    assert len(out) == 0
+    out2 = edit_distance_pairs(rd.from_arrow(t), max_dist=5).to_pandas()
+    assert len(out2) == 50 * 49 // 2 and (out2["dist"] == 0).all()
