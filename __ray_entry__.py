@@ -2286,6 +2286,21 @@ def q_docs_edit_distance(sf_dir: str):
     )
 
 
+def q_word_heavy_hitters(sf_dir: str):
+    """Frequency heavy hitters via the Misra-Gries candidate pass +
+    exact verify recount (two corpus passes, token streams never
+    shuffle) — the sketch path that still yields an EXACT answer, so
+    it sits under the full ★ oracle (HAVING count >= ceil(frac·N)).
+    m=512 (just above the 1/frac coverage bound) keeps the MG
+    truncation genuinely exercised at every scale."""
+    from raycdc.extras.text import word_heavy_hitters
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return word_heavy_hitters(docs, frac=0.002, m=512)
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -2395,6 +2410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_argmax": q_orders_argmax,
         "events_retention": q_events_retention,
         "docs_edit_distance": q_docs_edit_distance,
+        "word_heavy_hitters": q_word_heavy_hitters,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3183,6 +3199,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
+        """,
+        "word_heavy_hitters": """
+            WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                         AS word
+                       FROM documents),
+            n AS (SELECT count(*) AS total FROM w)
+            SELECT word, count(*) AS n
+            FROM w GROUP BY word
+            HAVING count(*) >= CAST(ceil(0.002 * (SELECT total FROM n)) AS BIGINT)
         """,
         "docs_edit_distance": """
             WITH d AS (SELECT doc_id, text,

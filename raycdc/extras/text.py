@@ -452,3 +452,99 @@ def doc_frequency(
     if k is None:
         return totals
     return top_k(totals, by="df", k=k, descending=True, tiebreak="word")
+
+
+def word_heavy_hitters(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    frac: float = 0.002,
+    m: int = 4096,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """EXACT frequency heavy hitters — all words with count ≥
+    ``ceil(frac·N)`` (N = total corpus words) — found with the
+    candidate/verify two-pass so no pass ever shuffles a token stream:
+
+    1. **Candidate pass (Misra-Gries):** per batch, exact local counts
+       truncated to ≤ ``m`` counters by subtracting the (m+1)-th largest
+       (classic MG decrement). Total undercount across the corpus is
+       ≤ N/(m+1), so every TRUE heavy hitter survives with merged count
+       ≥ T − N/(m+1) — the candidate filter keeps a guaranteed superset
+       while the counter table stays vocabulary-of-survivors-sized
+       (≤ m per batch leaves each task). Batch word totals ride along as
+       a NULL-word row so N needs no extra corpus pass.
+    2. **Verify pass:** exact recount of ONLY the (tiny, broadcast)
+       candidate set, combiner-grouped, filtered to ≥ T.
+
+    The output is therefore EXACTLY the SQL ``GROUP BY word HAVING
+    count(*) >= ceil(frac * N)`` — an approximate pass with an exact
+    answer. Requires ``m ≥ 1/frac`` (else the superset guarantee
+    fails; raises)."""
+    import polars as pl
+
+    import ray
+
+    from raycdc.ops import partial_groupby_agg
+
+    if m < 1.0 / frac:
+        raise ValueError(f"m={m} too small for frac={frac}: need m >= 1/frac")
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).cast(pa.string()).combine_chunks()
+        s = pl.Series("w", pl.from_arrow(col)).str.to_lowercase()
+        exploded = s.str.extract_all(WORD_PATTERN).explode().drop_nulls()
+        total = len(exploded)
+        counts = exploded.value_counts()
+        arr = counts.to_arrow()
+        words = arr.column(0).cast(pa.string())
+        n = arr.column(1).cast(pa.int64()).to_numpy(zero_copy_only=False).copy()
+        if len(n) > m:
+            kth = np.partition(n, len(n) - m - 1)[len(n) - m - 1]
+            keep = (n - kth) > 0
+            words, n = words.filter(pa.array(keep)), n[keep] - kth
+        return pa.table({
+            "word": pa.concat_arrays([words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words,
+                                      pa.array([None], pa.string())]),
+            "n": pa.array(np.concatenate([n, [total]]), pa.int64()),
+        })
+
+    partials = ds.map_batches(mg_partial, batch_format="pyarrow", batch_size=batch_size)
+    merged = partial_groupby_agg(partials, "word", {"n": ("n", "sum")},
+                                 batch_size=65536).materialize()
+    tot = merged.map_batches(
+        lambda t: t.filter(pc.is_null(t["word"])), batch_format="pyarrow"
+    ).take_all()
+    N = int(tot[0]["n"]) if tot else 0
+    T = int(np.ceil(frac * N)) if N else 1
+    slack = N // (m + 1)
+    floor = max(T - slack, 1)
+    cand_tbl = merged.map_batches(
+        lambda t: t.filter(pc.and_(pc.is_valid(t["word"]),
+                                   pc.greater_equal(t["n"], pa.scalar(floor, pa.int64())))),
+        batch_format="pyarrow",
+    ).take_all()
+    cand = ray.put(np.asarray(sorted(r["word"] for r in cand_tbl)))
+
+    class Recount:
+        def __init__(self):
+            self.cand = ray.get(cand)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t.column(text_col).cast(pa.string()).combine_chunks()
+            s = pl.Series("w", pl.from_arrow(col)).str.to_lowercase()
+            exploded = s.str.extract_all(WORD_PATTERN).explode().drop_nulls()
+            counts = exploded.value_counts()
+            arr = counts.to_arrow()
+            words = arr.column(0).cast(pa.string()).combine_chunks()
+            n = arr.column(1).cast(pa.int64())
+            keep = pa.array(np.isin(words.to_numpy(zero_copy_only=False), self.cand))
+            return pa.table({"word": words.filter(keep), "n": n.filter(keep)})
+
+    exact = ds.map_batches(Recount, batch_format="pyarrow",
+                           batch_size=batch_size, concurrency=(1, 4))
+    totals = partial_groupby_agg(exact, "word", {"n": ("n", "sum")},
+                                 batch_size=65536)
+    return totals.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], pa.scalar(T, pa.int64()))),
+        batch_format="pyarrow",
+    )

@@ -797,3 +797,46 @@ def test_edit_distance_pairs_max_block_skips_degenerate_blocks():
     assert len(out) == 0
     out2 = edit_distance_pairs(rd.from_arrow(t), max_dist=5).to_pandas()
     assert len(out2) == 50 * 49 // 2 and (out2["dist"] == 0).all()
+
+
+def test_word_heavy_hitters_exact_despite_mg_truncation():
+    import duckdb
+    import random
+
+    from raycdc.extras.text import word_heavy_hitters
+
+    rng = random.Random(99)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    docs = []
+    for _ in range(300):
+        # zipf-ish: a few hot words + long uniform tail
+        words = ["hot_a", "hot_b"] * rng.randint(1, 4) + rng.sample(vocab, 25)
+        docs.append(" ".join(words))
+    t = pa.table({"text": docs})
+    frac = 0.01
+    out = (
+        word_heavy_hitters(rd.from_arrow(t).repartition(4), frac=frac, m=128,
+                           batch_size=32)
+        .to_pandas().sort_values("word").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(f"""
+        WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+                   FROM documents),
+        n AS (SELECT count(*) AS total FROM w)
+        SELECT word, count(*) AS n FROM w GROUP BY word
+        HAVING count(*) >= CAST(ceil({frac} * (SELECT total FROM n)) AS BIGINT)
+        ORDER BY word
+    """).df().reset_index(drop=True)
+    assert len(out) == len(want) and len(out) >= 2
+    assert (out["word"].to_numpy() == want["word"].to_numpy()).all()
+    assert (out["n"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_word_heavy_hitters_m_coverage_bound_enforced():
+    from raycdc.extras.text import word_heavy_hitters
+
+    t = pa.table({"text": ["a b c"]})
+    with pytest.raises(ValueError):
+        word_heavy_hitters(rd.from_arrow(t), frac=0.002, m=100)
