@@ -2301,6 +2301,30 @@ def q_word_heavy_hitters(sf_dir: str):
     return word_heavy_hitters(docs, frac=0.002, m=512)
 
 
+def q_events_quantile_sketch(sf_dir: str):
+    """Bottom-k-by-hash (KMV-style) per-type value quantiles — the
+    mergeable bounded-memory quantile sketch (≤ k rows per key per
+    batch shuffle; deterministic and partitioning-independent by
+    content hash). Approximate → rows-only; the rank-error and
+    exact-when-small gates live in test_windows_quantiles."""
+    from raycdc.ops import grouped_quantile_sketch
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+                "cents": pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantile_sketch(
+        ev, "event_type", "cents", "event_id",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99}, k=1024,
+    )
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -2411,6 +2435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": q_events_retention,
         "docs_edit_distance": q_docs_edit_distance,
         "word_heavy_hitters": q_word_heavy_hitters,
+        "events_quantile_sketch": q_events_quantile_sketch,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,

@@ -3243,3 +3243,76 @@ def grouped_arg_extreme(
         .groupby(key)
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def grouped_quantile_sketch(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    id_col: str,
+    qs: dict[str, float],
+    k: int = 1024,
+    seed: int = 0x5EED,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """APPROXIMATE per-key interpolated quantiles from a BOTTOM-K-BY-HASH
+    sample (KMV-style): each key keeps the ``k`` rows whose id-hash is
+    smallest — a uniform without-replacement sample that is
+    deterministic, replay-stable, and MERGEABLE (bottom-k of a union =
+    bottom-k of the partials' union), so the shuffle carries at most
+    ``k`` rows per key per batch instead of the key's full value stream.
+    The 100-TB path beside :func:`grouped_quantile_cont` (exact, full
+    row shuffle) and :func:`grouped_quantile_hist` (exact, needs a
+    low-cardinality value domain): rank error is O(1/sqrt(k)) with high
+    probability — the accuracy gate lives in pytest, not a SQL oracle
+    (approximate → rows-only registration).
+
+    Keys with ≤ k rows are EXACT (the sample is the population). NULL
+    values dropped up-front; finalize reuses DuckDB's quantile_cont
+    arithmetic on the sample."""
+    for name, q in qs.items():
+        if not 0.0 <= float(q) <= 1.0:
+            raise ValueError(f"quantile {name}={q} outside [0, 1]")
+    from raycdc.util import str_hash_u64
+
+    def bottom_k(t: pa.Table) -> pa.Table:
+        # per-key bottom-k by hash: sort (key, h), keep run-local pos < k
+        t = t.take(pc.sort_indices(t, sort_keys=[(key, "ascending"), ("_h", "ascending")]))
+        t = t.combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return t
+        new_key = _run_boundaries(t.column(key), n)
+        starts = np.flatnonzero(new_key)
+        run = np.cumsum(new_key) - 1
+        pos = np.arange(n) - starts[run]
+        return t.filter(pa.array(pos < k))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([key, col, id_col]).filter(pc.is_valid(t.column(col)))
+        h = str_hash_u64(t.column(id_col).cast(pa.string()), seed=seed)
+        t = pa.table({key: t.column(key), col: t.column(col),
+                      "_h": pa.array(h.view(np.int64))})
+        return bottom_k(t)
+
+    def finalize(g: pa.Table) -> pa.Table:
+        g = bottom_k(g)
+        v = np.sort(np.asarray(g.column(col).cast(pa.float64())))
+        n = len(v)
+        out = {key: g.column(key).slice(0, 1)}
+        for name, q in qs.items():
+            if n == 0:
+                out[name] = pa.nulls(1, pa.float64())
+                continue
+            rn = (n - 1) * float(q)
+            lo = int(np.floor(rn))
+            d = rn - lo
+            hi = min(lo + 1, n - 1)
+            out[name] = pa.array([v[lo] * (1.0 - d) + v[hi] * d], pa.float64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(key)
+        .map_groups(finalize, batch_format="pyarrow")
+    )

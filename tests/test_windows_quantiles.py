@@ -1660,3 +1660,60 @@ def test_grouped_arg_extreme_matches_window_form():
             out["arg"].to_numpy() == want["arg"].to_numpy()
         )
         assert ok.all()
+
+
+def test_grouped_quantile_sketch_exact_when_key_fits_in_k():
+    t = _events(n=1500, seed=42)
+    from raycdc.ops import grouped_quantile_cont, grouped_quantile_sketch
+
+    approx = (
+        grouped_quantile_sketch(
+            rd.from_arrow(t).repartition(3), "etype", "cents", "event_id",
+            {"p50": 0.5, "p90": 0.9}, k=4096,
+        ).to_pandas().sort_values("etype").reset_index(drop=True)
+    )
+    exact = (
+        grouped_quantile_cont(
+            rd.from_arrow(t), "etype", "cents", {"p50": 0.5, "p90": 0.9}
+        ).to_pandas().sort_values("etype").reset_index(drop=True)
+    )
+    # every key has < k rows -> the sample IS the population: bit-equal
+    assert (approx["p50"].to_numpy() == exact["p50"].to_numpy()).all()
+    assert (approx["p90"].to_numpy() == exact["p90"].to_numpy()).all()
+
+
+def test_grouped_quantile_sketch_rank_error_bounded():
+    t = _events(n=60000, seed=5)
+    from raycdc.ops import grouped_quantile_sketch
+
+    k = 1024
+    approx = (
+        grouped_quantile_sketch(
+            rd.from_arrow(t).repartition(6), "etype", "cents", "event_id",
+            {"p50": 0.5, "p90": 0.9}, k=k,
+        ).to_pandas().set_index("etype")
+    )
+    df = t.to_pandas()
+    tol = 4.0 / np.sqrt(k)  # ~0.125 rank units
+    for etype, grp in df.groupby("etype"):
+        v = np.sort(grp["cents"].to_numpy())
+        for name, q in (("p50", 0.5), ("p90", 0.9)):
+            got = approx.loc[etype, name]
+            rank = np.searchsorted(v, got) / max(len(v) - 1, 1)
+            assert abs(rank - q) < tol, (etype, name, rank, q)
+
+
+def test_grouped_quantile_sketch_deterministic_across_partitioning():
+    t = _events(n=20000, seed=8)
+    from raycdc.ops import grouped_quantile_sketch
+
+    outs = []
+    for parts in (2, 7):
+        outs.append(
+            grouped_quantile_sketch(
+                rd.from_arrow(t).repartition(parts), "etype", "cents", "event_id",
+                {"p50": 0.5}, k=256,
+            ).to_pandas().sort_values("etype").reset_index(drop=True)
+        )
+    # bottom-k by hash is partitioning-independent: identical samples
+    assert (outs[0]["p50"].to_numpy() == outs[1]["p50"].to_numpy()).all()
