@@ -2325,6 +2325,79 @@ def q_events_quantile_sketch(sf_dir: str):
     )
 
 
+def q_user_state_scd2(sf_dir: str):
+    """SCD-Type-2 history build from an event stream (the CDC
+    changelog→temporal-table move): compact each user's stream to state
+    CHANGES, then stamp validity intervals — valid_from = change ts,
+    valid_to = next change ts, open interval = current row. Two bucket
+    shuffles on the SAME key (user) — on a cluster the second reuses
+    the first's partitioning."""
+    from raycdc.ops import grouped_lag, grouped_lead
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts", "event_type"]),
+        batch_format="pyarrow",
+    )
+    lagged = grouped_lag(
+        ev, "user_id", order_cols=["ts", "event_id"], val_col="event_type",
+        out_col="_prev",
+    )
+
+    def changed(t: pa.Table) -> pa.Table:
+        a, b = t["event_type"], t["_prev"]
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        distinct = pc.if_else(both_null, False, pc.not_equal(a, b).fill_null(True))
+        return t.filter(distinct).drop_columns(["_prev"])
+
+    cp = lagged.map_batches(changed, batch_format="pyarrow")
+    led = grouped_lead(
+        cp, "user_id", order_cols=["ts", "event_id"], val_col="ts",
+        out_col="valid_to",
+    )
+    return led.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "state": t["event_type"],
+                "valid_from": t["ts"],
+                "valid_to": t["valid_to"],
+                "is_current": pc.is_null(t["valid_to"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_docs_winsorize(sf_dir: str):
+    """Per-language winsorization: clip document length into the
+    [p05, p95] interpolated-quantile band — the outlier-capping
+    normalization (vs docs_outlier_filter's drop). The quantile table
+    is tiny (one row per language, exact grouped_quantile_cont) and
+    broadcast; the clip itself is a map-only pass."""
+    from raycdc.ops import broadcast_lookup, grouped_quantile_cont
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_chars"]).filter(
+            pc.is_valid(t["n_chars"])
+        ),
+        batch_format="pyarrow",
+    )
+    q = grouped_quantile_cont(docs, "lang", "n_chars", {"lo": 0.05, "hi": 0.95})
+    rows = q.take_all()
+    lo = {r["lang"]: r["lo"] for r in rows}
+    hi = {r["lang"]: r["hi"] for r in rows}
+    out = broadcast_lookup(docs, "lang", lo, "_lo")
+    out = broadcast_lookup(out, "lang", hi, "_hi")
+
+    def clip(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].cast(pa.float64())
+        v = pc.if_else(pc.less(x, t["_lo"]), t["_lo"],
+                       pc.if_else(pc.greater(x, t["_hi"]), t["_hi"], x))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"], "clipped": v})
+
+    return out.map_batches(clip, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -2436,6 +2509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_edit_distance": q_docs_edit_distance,
         "word_heavy_hitters": q_word_heavy_hitters,
         "events_quantile_sketch": q_events_quantile_sketch,
+        "user_state_scd2": q_user_state_scd2,
+        "docs_winsorize": q_docs_winsorize,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3224,6 +3299,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
+        """,
+        "user_state_scd2": """
+            WITH cp AS (
+              SELECT user_id, ts, event_id, event_type
+              FROM events
+              QUALIFY event_type IS DISTINCT FROM
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id))
+            SELECT user_id, event_type AS state, ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM cp
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "docs_winsorize": """
+            WITH q AS (SELECT lang,
+                              quantile_cont(n_chars, 0.05) AS lo,
+                              quantile_cont(n_chars, 0.95) AS hi
+                       FROM documents WHERE n_chars IS NOT NULL
+                       GROUP BY lang)
+            SELECT d.doc_id, d.lang,
+                   CASE WHEN d.n_chars < q.lo THEN q.lo
+                        WHEN d.n_chars > q.hi THEN q.hi
+                        ELSE CAST(d.n_chars AS DOUBLE) END AS clipped
+            FROM documents d JOIN q ON q.lang = d.lang
+            WHERE d.n_chars IS NOT NULL
         """,
         "word_heavy_hitters": """
             WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
