@@ -2398,6 +2398,67 @@ def q_docs_winsorize(sf_dir: str):
     return out.map_batches(clip, batch_format="pyarrow")
 
 
+def q_user_time_weighted_value(sf_dir: str):
+    """Per-user TIME-WEIGHTED average value: each event's value holds
+    until the user's next event; twa = Σ(v·Δt)/Σ(Δt) over closed
+    intervals. One lead shuffle + a combiner sum — whole-dollar values ×
+    whole-second gaps keep every product sum < 2**53 (float64-exact →
+    bit-equal to the SQL expression)."""
+    from raycdc.ops import grouped_lead, moment_agg
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "dollars": pc.divide(
+                    pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+                    pa.scalar(100, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    led = grouped_lead(ev, "user_id", order_cols=["ts", "event_id"],
+                       val_col="ts", out_col="_next")
+
+    def interval(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["_next"]))
+        dt = pc.divide(
+            pc.subtract(t["_next"].cast(pa.int64()), t["ts"].cast(pa.int64())),
+            pa.scalar(1_000_000, pa.int64()),
+        )
+        return pa.table({"user_id": t["user_id"], "dollars": t["dollars"], "dt": dt})
+
+    iv = led.map_batches(interval, batch_format="pyarrow")
+    return moment_agg(iv, "user_id", {"twa": ("dollars", "dt", "wmean")})
+
+
+def q_user_max_gap(sf_dir: str):
+    """Per-user maximum silence: the longest gap (whole seconds) between
+    consecutive events — the churn-detection / liveness aggregate. Lead
+    shuffle + combiner max."""
+    from raycdc.ops import grouped_lead, partial_groupby_agg
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]), batch_format="pyarrow"
+    )
+    led = grouped_lead(ev, "user_id", order_cols=["ts", "event_id"],
+                       val_col="ts", out_col="_next")
+
+    def gap(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["_next"]))
+        g = pc.divide(
+            pc.subtract(t["_next"].cast(pa.int64()), t["ts"].cast(pa.int64())),
+            pa.scalar(1_000_000, pa.int64()),
+        )
+        return pa.table({"user_id": t["user_id"], "gap_s": g})
+
+    return partial_groupby_agg(led.map_batches(gap, batch_format="pyarrow"),
+                               "user_id", {"max_gap_s": ("gap_s", "max")})
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -2511,6 +2572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_sketch": q_events_quantile_sketch,
         "user_state_scd2": q_user_state_scd2,
         "docs_winsorize": q_docs_winsorize,
+        "user_time_weighted_value": q_user_time_weighted_value,
+        "user_max_gap": q_user_max_gap,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3299,6 +3362,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
+        """,
+        "user_time_weighted_value": """
+            WITH led AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) // 100 AS dollars,
+                     (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS dt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id,
+                   CAST(sum(dollars * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
+                     AS twa
+            FROM led WHERE dt IS NOT NULL
+            GROUP BY user_id
+        """,
+        "user_max_gap": """
+            WITH led AS (
+              SELECT user_id,
+                     (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))
+                      - epoch_us(ts)) // 1000000 AS gap_s
+              FROM events)
+            SELECT user_id, max(gap_s) AS max_gap_s
+            FROM led WHERE gap_s IS NOT NULL
+            GROUP BY user_id
         """,
         "user_state_scd2": """
             WITH cp AS (
