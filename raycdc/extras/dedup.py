@@ -827,36 +827,90 @@ def _utf8_matrix(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 
 def levenshtein_pairs_np(
-    mat: np.ndarray, lens: np.ndarray, ia: np.ndarray, ib: np.ndarray
+    mat: np.ndarray, lens: np.ndarray, ia: np.ndarray, ib: np.ndarray,
+    max_dist: int | None = None,
 ) -> np.ndarray:
     """Unit-cost Levenshtein for PAIRS of rows of a char matrix,
     vectorized across pairs: the Wagner-Fischer recurrence runs one
-    Python iteration per character of the longer side, each a full-width
-    numpy pass over (pairs × Lmax); the in-row insertion dependency
+    Python iteration per character of the longer side, each a numpy
+    pass over (pairs × width); the in-row insertion dependency
     dp[j] = min(dp[j], dp[j-1]+1) is the min-plus prefix scan
     ``j + cummin(cand[j] - j)`` (np.minimum.accumulate), so nothing
-    iterates per pair."""
+    iterates per pair.
+
+    With ``max_dist`` set the DP runs BANDED — only the diagonal
+    |i-j| ≤ max_dist (width 2·max_dist+1 instead of Lmax; the Ukkonen
+    cut) — and distances beyond the band come back clamped to
+    ``max_dist + 1`` (exact within the band, callers filter ≤ max_dist
+    anyway). Pairs with |len_a − len_b| > max_dist are clamped without
+    running."""
     P = len(ia)
     if P == 0:
         return np.zeros(0, dtype=np.int64)
     A, la = mat[ia], lens[ia]
     B, lb = mat[ib], lens[ib]
-    Lb = int(lb.max()) if P else 0
-    dp = np.broadcast_to(np.arange(Lb + 1, dtype=np.int64), (P, Lb + 1)).copy()
-    jj = np.arange(Lb + 1, dtype=np.int64)
-    for i in range(1, int(la.max()) + 1):
-        sub = (A[:, i - 1][:, None] != B[:, :Lb]).astype(np.int64)
-        cand = np.empty_like(dp)
-        cand[:, 0] = i
-        # substitution / deletion candidates (no insertion yet)
-        np.minimum(dp[:, :-1] + sub, dp[:, 1:] + 1, out=cand[:, 1:])
-        # insertion = min-plus prefix scan along j
-        np.subtract(cand, jj, out=cand)
+    if max_dist is None:
+        Lb = int(lb.max()) if P else 0
+        dp = np.broadcast_to(np.arange(Lb + 1, dtype=np.int64), (P, Lb + 1)).copy()
+        jj = np.arange(Lb + 1, dtype=np.int64)
+        for i in range(1, int(la.max()) + 1):
+            sub = (A[:, i - 1][:, None] != B[:, :Lb]).astype(np.int64)
+            cand = np.empty_like(dp)
+            cand[:, 0] = i
+            np.minimum(dp[:, :-1] + sub, dp[:, 1:] + 1, out=cand[:, 1:])
+            np.subtract(cand, jj, out=cand)
+            np.minimum.accumulate(cand, axis=1, out=cand)
+            np.add(cand, jj, out=cand)
+            alive = i <= la
+            np.copyto(dp, cand, where=alive[:, None])
+        return dp[np.arange(P), lb]
+
+    md = int(max_dist)
+    BIG = np.int64(1 << 40)
+    out = np.full(P, md + 1, dtype=np.int64)
+    run = np.abs(la - lb) <= md
+    if not run.any():
+        return out
+    A, B, la_r, lb_r = A[run], B[run], la[run], lb[run]
+    Pr = len(la_r)
+    W = 2 * md + 1  # band column t ↔ j = i - md + t
+    tt = np.arange(W, dtype=np.int64)
+    # row 0: dp[0][j] = j for j in [0, md]; j<0 invalid
+    j0 = tt - md
+    cur = np.where(j0 >= 0, np.maximum(j0, 0), BIG)
+    cur = np.broadcast_to(cur, (Pr, W)).astype(np.int64)
+    done0 = la_r == 0
+    if done0.any():
+        out_idx = np.flatnonzero(run)
+        out[out_idx[done0]] = np.minimum(lb_r[done0], md + 1)
+    prev_pad = np.full((Pr, 1), BIG, dtype=np.int64)
+    rows_idx = np.flatnonzero(run)
+    for i in range(1, int(la_r.max()) + 1):
+        j = i - md + tt  # the j each band column holds THIS row
+        # gather B chars at j-1 (clip; validity enforced by j bounds)
+        bj = np.take(B, np.clip(j - 1, 0, B.shape[1] - 1), axis=1)
+        sub = (A[:, i - 1][:, None] != bj).astype(np.int64)
+        prev = cur  # band of row i-1: column t held j' = (i-1) - md + t
+        # dp[i-1][j-1] sits at prev[t]; dp[i-1][j] at prev[t+1]
+        cand = np.minimum(prev + sub, np.concatenate([prev[:, 1:], prev_pad], axis=1) + 1)
+        # j = 0 boundary: dp[i][0] = i (only while 0 is inside the band)
+        if i <= md:
+            cand[:, md - i] = i
+        # invalid j outside [0, lb]
+        invalid = (j[None, :] < 0) | (j[None, :] > lb_r[:, None])
+        cand = np.where(invalid, BIG, cand)
+        # insertion scan along t (j increases with t, step 1)
+        cand = cand - tt
         np.minimum.accumulate(cand, axis=1, out=cand)
-        np.add(cand, jj, out=cand)
-        alive = i <= la
-        dp[alive] = cand[alive]
-    return dp[np.arange(P), lb]
+        cand = cand + tt
+        cand = np.where(invalid, BIG, cand)
+        cur = cand
+        fin = la_r == i
+        if fin.any():
+            t_ans = lb_r[fin] - i + md
+            d = cur[fin, t_ans]
+            out[rows_idx[fin]] = np.minimum(d, md + 1)
+    return out
 
 
 def edit_distance_pairs(
@@ -939,7 +993,7 @@ def edit_distance_pairs(
         la, lb = lens_c[ia], lens_c[ib]
         ok = np.abs(la - lb) <= max_dist
         ia, ib = ia[ok], ib[ok]
-        dist = levenshtein_pairs_np(mat, lens_c, ia, ib)
+        dist = levenshtein_pairs_np(mat, lens_c, ia, ib, max_dist=max_dist)
         hit = dist <= max_dist
         ia, ib, dist = ia[hit], ib[hit], dist[hit]
         ids = g.column(id_col)

@@ -840,3 +840,22 @@ def test_word_heavy_hitters_m_coverage_bound_enforced():
     t = pa.table({"text": ["a b c"]})
     with pytest.raises(ValueError):
         word_heavy_hitters(rd.from_arrow(t), frac=0.002, m=100)
+
+
+def test_levenshtein_banded_matches_full_dp():
+    import random
+
+    from raycdc.extras.dedup import _utf8_matrix, levenshtein_pairs_np
+
+    rng = random.Random(17)
+    texts = [''.join(rng.choice("abcd ") for _ in range(rng.randint(0, 50)))
+             for _ in range(150)]
+    mat, lens = _utf8_matrix(pa.array(texts))
+    ia = np.random.default_rng(3).integers(0, 150, 800)
+    ib = np.random.default_rng(4).integers(0, 150, 800)
+    full = levenshtein_pairs_np(mat, lens, ia, ib)
+    for md in (2, 7, 25):
+        banded = levenshtein_pairs_np(mat, lens, ia, ib, max_dist=md)
+        in_band = full <= md
+        assert (banded[in_band] == full[in_band]).all()
+        assert (banded[~in_band] == md + 1).all()  # clamped, never under
