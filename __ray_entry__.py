@@ -2459,6 +2459,28 @@ def q_user_max_gap(sf_dir: str):
                                "user_id", {"max_gap_s": ("gap_s", "max")})
 
 
+def q_user_merged_windows(sf_dir: str):
+    """Interval coalescing (gaps-and-islands merge): each event opens a
+    5-minute [ts, ts+300s) activity interval; overlapping/touching
+    intervals per user merge into maximal windows with member counts —
+    the session-availability primitive, one bounded bucket shuffle +
+    fully vectorized island detection."""
+    from raycdc.ops import merge_intervals
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "s": t["ts"].cast(pa.int64()),
+                "e": pc.add(t["ts"].cast(pa.int64()),
+                            pa.scalar(300_000_000, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return merge_intervals(ev, "user_id", "s", "e")
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -2574,6 +2596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winsorize": q_docs_winsorize,
         "user_time_weighted_value": q_user_time_weighted_value,
         "user_max_gap": q_user_max_gap,
+        "user_merged_windows": q_user_merged_windows,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3362,6 +3385,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
+        """,
+        "user_merged_windows": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                               epoch_us(ts) + 300000000 AS e
+                        FROM events),
+            o AS (SELECT user_id, s, e,
+                         CASE WHEN s > max(e) OVER (PARTITION BY user_id
+                                                    ORDER BY s, e
+                                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND 1 PRECEDING)
+                              THEN 1 ELSE 0 END AS new_island
+                  FROM iv),
+            g AS (SELECT user_id, s, e,
+                         sum(new_island) OVER (PARTITION BY user_id
+                                               ORDER BY s, e
+                                               ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM o)
+            SELECT user_id, min(s) AS win_start, max(e) AS win_end,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id, isl
         """,
         "user_time_weighted_value": """
             WITH led AS (

@@ -3316,3 +3316,80 @@ def grouped_quantile_sketch(
         .groupby(key)
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def merge_intervals(
+    ds: ray.data.Dataset,
+    key: str,
+    start_col: str,
+    end_col: str,
+    out_start: str = "win_start",
+    out_end: str = "win_end",
+    count_col: str | None = "n_events",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key INTERVAL COALESCING (the gaps-and-islands merge): union
+    overlapping-or-touching [start, end) intervals into maximal windows,
+    one output row per merged window with its member count — the
+    session-window / availability-window primitive. An interval joins
+    the current island iff its start ≤ the running max end seen so far
+    (SQL: ``start > max(end) OVER (... 1 PRECEDING)`` opens an island).
+
+    Shape: ONE bounded hash-bucket shuffle on ``key``; in-bucket sort by
+    (key, start, end) then fully vectorized — the per-run running-max is
+    one global ``np.maximum.accumulate`` over end-values offset by
+    run-id·RANGE (runs are visited in order, so the offset keeps each
+    run's prefix independent), islands are a cumsum of boundary flags,
+    and window extents are gathered at island run edges."""
+    from raycdc.util import bucket_of
+
+    def stamp(t: pa.Table) -> pa.Table:
+        t = t.select([key, start_col, end_col])
+        t = t.filter(pc.and_(pc.is_valid(t.column(start_col)),
+                             pc.is_valid(t.column(end_col))))
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=[
+            (key, "ascending"), (start_col, "ascending"), (end_col, "ascending")
+        ])).combine_chunks()
+        n = g.num_rows
+        cols = {key: g.column(key).slice(0, 0),
+                out_start: pa.array([], pa.int64()),
+                out_end: pa.array([], pa.int64())}
+        if count_col is not None:
+            cols[count_col] = pa.array([], pa.int64())
+        if n == 0:
+            return pa.table(cols)
+        new_key = _run_boundaries(g.column(key), n)
+        run = np.cumsum(new_key) - 1
+        s = np.asarray(g.column(start_col).cast(pa.int64()))
+        e = np.asarray(g.column(end_col).cast(pa.int64()))
+        # segment running-max of e: offset each run into its own value
+        # range, accumulate globally, de-offset
+        lo, hi = min(int(e.min()), int(s.min())), max(int(e.max()), int(s.max()))
+        span = (hi - lo) + 1
+        cm = np.maximum.accumulate(e - lo + run * span) - run * span + lo
+        prev_cm = np.empty_like(cm)
+        prev_cm[1:] = cm[:-1]
+        new_island = new_key.astype(bool) | (s > prev_cm)
+        isl = np.cumsum(new_island) - 1
+        starts = np.flatnonzero(new_island)
+        lens = np.r_[starts[1:], n] - starts
+        ends = starts + lens - 1
+        out = {
+            key: g.column(key).take(pa.array(starts)),
+            out_start: pa.array(s[starts], pa.int64()),
+            out_end: pa.array(cm[ends], pa.int64()),
+        }
+        if count_col is not None:
+            out[count_col] = pa.array(lens, pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -1717,3 +1717,33 @@ def test_grouped_quantile_sketch_deterministic_across_partitioning():
         )
     # bottom-k by hash is partitioning-independent: identical samples
     assert (outs[0]["p50"].to_numpy() == outs[1]["p50"].to_numpy()).all()
+
+
+def test_merge_intervals_islands_and_touching():
+    from raycdc.ops import merge_intervals
+
+    t = pa.table({
+        "k": ["a", "a", "a", "a", "b", "b"],
+        "s": [0, 3, 5, 20, 1, 100],
+        "e": [5, 4, 9, 25, 2, 101],
+    })
+    # a: [0,5)+[3,4)+[5,9) merge (touching merges); [20,25) separate
+    df = (
+        merge_intervals(rd.from_arrow(t), "k", "s", "e")
+        .to_pandas().sort_values(["k", "win_start"]).reset_index(drop=True)
+    )
+    rows = [tuple(r) for r in df.itertuples(index=False)]
+    assert rows == [("a", 0, 9, 3), ("a", 20, 25, 1),
+                    ("b", 1, 2, 1), ("b", 100, 101, 1)]
+
+
+def test_merge_intervals_contained_interval_keeps_running_max():
+    from raycdc.ops import merge_intervals
+
+    # [0,100) swallows [10,20); [30,40) still inside because running max
+    # is 100, not the previous row's end 20
+    t = pa.table({"k": ["x"] * 3, "s": [0, 10, 30], "e": [100, 20, 40]})
+    df = merge_intervals(rd.from_arrow(t), "k", "s", "e").to_pandas()
+    assert len(df) == 1
+    assert df.iloc[0]["win_start"] == 0 and df.iloc[0]["win_end"] == 100
+    assert df.iloc[0]["n_events"] == 3
