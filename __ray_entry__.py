@@ -2481,6 +2481,117 @@ def q_user_merged_windows(sf_dir: str):
     return merge_intervals(ev, "user_id", "s", "e")
 
 
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — the deepest join chain in the battery (6 tables):
+    ASIA-region revenue per nation where the ordering customer and the
+    line's supplier share the nation. Scale discipline: region⋈nation
+    collapses to a broadcast nationkey set; customers/suppliers prune to
+    (key, nationkey) columns; the only two big exchanges are the
+    orders⋈customer and lineitem⋈(orders⋈customer)⋈supplier hash joins,
+    every prior filter applied BEFORE the shuffles. Revenue in exact
+    cents×(100−disc) integer units (float64-exact sums), divided once at
+    the end — bit-equal to the mirrored SQL expression."""
+    from raycdc.ops import broadcast_lookup, hash_join, partial_groupby_agg
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=asia.combine_chunks()))
+    nkeys = set(nat["n_nationkey"].to_pylist())
+    nname = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"],
+                                    value_set=pa.array(sorted(nkeys), pa.int64())))
+        .rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    oc = hash_join(orders, cust, key="o_custkey").map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"]).rename_columns(
+            ["l_orderkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "s_suppkey": t["l_suppkey"],
+                "rev_e4": pc.multiply(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)).cast(pa.int64()),
+                    pc.subtract(
+                        pa.scalar(100, pa.int64()),
+                        pc.round(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64()),
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    lioc = hash_join(li, oc, key="l_orderkey")
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    j = hash_join(lioc, supp, key="s_suppkey").map_batches(
+        lambda t: t.filter(pc.equal(t["c_nationkey"], t["s_nationkey"])).select(
+            ["s_nationkey", "rev_e4"]),
+        batch_format="pyarrow",
+    )
+    named = broadcast_lookup(j, "s_nationkey", nname, "n_name")
+    agg = partial_groupby_agg(named, "n_name", {"rev_e4": ("rev_e4", "sum")})
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"],
+                "revenue": pc.divide(t["rev_e4"].cast(pa.float64()),
+                                     pa.scalar(10000.0, pa.float64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_event_transitions(sf_dir: str):
+    """Event-type TRANSITION MATRIX (first-order Markov counts): how
+    often each user's event type A is immediately followed by type B —
+    per-key lag shuffle, then a combiner pair count. The sequence-mining
+    building block (next-action modeling, funnel discovery)."""
+    from raycdc.ops import grouped_lag, partial_groupby_agg
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts", "event_type"]),
+        batch_format="pyarrow",
+    )
+    lagged = grouped_lag(
+        ev, "user_id", order_cols=["ts", "event_id"], val_col="event_type",
+        out_col="prev_type",
+    )
+    pairs = lagged.map_batches(
+        lambda t: t.filter(pc.is_valid(t["prev_type"])).select(
+            ["prev_type", "event_type"]),
+        batch_format="pyarrow",
+    )
+    return partial_groupby_agg(
+        pairs, ["prev_type", "event_type"], {"n": ("event_type", "count")}
+    )
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -2597,6 +2708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_time_weighted_value": q_user_time_weighted_value,
         "user_max_gap": q_user_max_gap,
         "user_merged_windows": q_user_merged_windows,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "event_transitions": q_event_transitions,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3385,6 +3498,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
+        """,
+        "event_transitions": """
+            WITH l AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                                AS prev_type
+                       FROM events)
+            SELECT prev_type, event_type, count(*) AS n
+            FROM l WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS DOUBLE) / 10000.0 AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name
         """,
         "user_merged_windows": """
             WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
