@@ -2592,6 +2592,122 @@ def q_event_transitions(sf_dir: str):
     )
 
 
+def q_audience_overlap(sf_dir: str):
+    """Audience-overlap matrix: exact Jaccard of USER SETS between every
+    pair of event types (segment co-occurrence). Scale shape: per-batch
+    pair dedup, ONE bucket shuffle on user, per-user type-pair expansion
+    (vectorized run-local combinations — a user's type set is tiny), a
+    combiner pair count, and per-type distinct counts via the pair-dedup
+    combiner; the final Jaccard joins two TYPE-cardinality tables (a
+    driver dict is fine at that size)."""
+    from raycdc.ops import grouped_nunique, partial_groupby_agg
+    from raycdc.util import bucket_of
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["user_id", "event_type"])
+        .filter(pc.is_valid(t["event_type"]))
+        .group_by(["user_id", "event_type"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t["user_id"], 64)))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("event_type", "ascending")
+        ])).combine_chunks()
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"ta": pa.array([], pa.string()),
+                             "tb": pa.array([], pa.string())})
+        # global distinct within the bucket (batches may repeat pairs)
+        g = g.group_by(["user_id", "event_type"]).aggregate([])
+        g = g.take(pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("event_type", "ascending")
+        ])).combine_chunks()
+        n = g.num_rows
+        from raycdc.ops import _run_boundaries
+        new_u = _run_boundaries(g.column("user_id"), n)
+        starts = np.flatnonzero(new_u)
+        run = np.cumsum(new_u) - 1
+        pos = np.arange(n) - starts[run]
+        ib = np.repeat(np.arange(n), pos)
+        off = np.concatenate(([0], np.cumsum(pos)))
+        ia = (np.arange(off[-1]) - off[ib]) + starts[run][ib]
+        types = g.column("event_type")
+        return pa.table({"ta": types.take(pa.array(ia)),
+                         "tb": types.take(pa.array(ib))})
+
+    pair_counts = partial_groupby_agg(
+        ev.map_batches(stamp, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(pairs, batch_format="pyarrow"),
+        ["ta", "tb"], {"inter": ("ta", "count")},
+    )
+    sizes = {
+        r["event_type"]: int(r["n_unique"])
+        for r in grouped_nunique(_ev(sf_dir), "event_type", "user_id").take_all()
+    }
+    ref = ray.put(sizes)
+
+    class Jac:
+        def __init__(self):
+            self.sz = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            inter = np.asarray(t["inter"], dtype=np.float64)
+            na = np.array([self.sz[x] for x in t["ta"].to_pylist()], dtype=np.float64)
+            nb = np.array([self.sz[x] for x in t["tb"].to_pylist()], dtype=np.float64)
+            return t.append_column(
+                "jaccard", pa.array(inter / (na + nb - inter), pa.float64())
+            )
+
+    return pair_counts.map_batches(Jac, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def q_events_debounce(sf_dir: str):
+    """Windowed debounce (rate limiting): keep each user's FIRST event
+    per clock hour — the composite-key first-writer, run through the
+    arg-extreme combiner on a packed (user, hour) key so every batch
+    reduces to one candidate per window before the tiny shuffle."""
+    from raycdc.ops import grouped_arg_extreme
+
+    HOUR_US = 3600 * 1_000_000
+    PACK = 1 << 24  # hours-since-epoch < 2**24
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "uw": pc.add(
+                    pc.multiply(t["user_id"], pa.scalar(PACK, pa.int64())),
+                    pc.divide(t["ts"].cast(pa.int64()),
+                              pa.scalar(HOUR_US, pa.int64())),
+                ),
+                "ts": t["ts"].cast(pa.int64()),
+                "event_id": t["event_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # earliest ts, smallest event_id on ties — SQL row_number order
+    first = grouped_arg_extreme(ev, "uw", "ts", "event_id",
+                                mode="min", out_val="ts_us", out_arg="event_id")
+    return first.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.divide(t["uw"], pa.scalar(1 << 24, pa.int64())),
+                "hour": pc.subtract(
+                    t["uw"],
+                    pc.multiply(pc.divide(t["uw"], pa.scalar(1 << 24, pa.int64())),
+                                pa.scalar(1 << 24, pa.int64())),
+                ),
+                "event_id": t["event_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -2710,6 +2826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_merged_windows": q_user_merged_windows,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "event_transitions": q_event_transitions,
+        "audience_overlap": q_audience_overlap,
+        "events_debounce": q_events_debounce,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3498,6 +3616,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
+        """,
+        "audience_overlap": """
+            WITH tu AS (SELECT DISTINCT event_type, user_id FROM events
+                        WHERE event_type IS NOT NULL),
+            p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                         count(*) AS inter
+                  FROM tu a JOIN tu b ON a.user_id = b.user_id
+                                     AND a.event_type < b.event_type
+                  GROUP BY 1, 2),
+            c AS (SELECT event_type, count(DISTINCT user_id) AS n
+                  FROM events GROUP BY event_type)
+            SELECT ta, tb, inter,
+                   CAST(inter AS DOUBLE)
+                     / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+            FROM p
+            JOIN c ca ON ca.event_type = p.ta
+            JOIN c cb ON cb.event_type = p.tb
+        """,
+        "events_debounce": """
+            SELECT user_id, epoch_us(ts) // 3600000000 AS hour, event_id
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, epoch_us(ts) // 3600000000
+                ORDER BY ts, event_id) = 1
         """,
         "event_transitions": """
             WITH l AS (SELECT user_id, event_type,
