@@ -2708,6 +2708,68 @@ def q_events_debounce(sf_dir: str):
     )
 
 
+def q_cdc_mv_source_counts(sf_dir: str):
+    """Incremental MATERIALIZED-VIEW maintenance under the driver
+    oracle: the events table replays through the real lake in three
+    epochs (every 10th event a delete), and a per-event-type
+    sum(cents)/count view is refreshed INCREMENTALLY after each epoch
+    (state-vs-state key-pruned delta, never a full rescan — raycdc/mv.py).
+    The returned table is the final view; the oracle is the grouped
+    aggregate over the LWW-latest non-deleted rows — so the equality
+    proves three chained incremental refreshes land exactly on the
+    full-recompute answer."""
+    import shutil
+    import uuid
+
+    from raycdc.lake import LakeTable
+    from raycdc.mv import MaterializedAggregate
+
+    work = f"/tmp/raycdc_work/mv_{uuid.uuid4().hex[:8]}"
+    os.makedirs(work, exist_ok=True)
+    try:
+        ev = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        op = pc.if_else(
+            pc.equal(
+                pc.subtract(ev["event_id"],
+                            pc.multiply(pc.divide(ev["event_id"],
+                                                  pa.scalar(10, pa.int64())),
+                                        pa.scalar(10, pa.int64()))),
+                pa.scalar(0, pa.int64()),
+            ),
+            "delete", "insert",
+        )
+        events = pa.table(
+            {
+                "lsn": ev["event_id"].cast(pa.int64()),
+                "op": op,
+                "user_id": ev["user_id"],
+                "event_type": ev["event_type"],
+                "cents": pc.round(pc.multiply(ev["value"], 100.0)).cast(pa.int64()),
+            }
+        )
+        lake = LakeTable(os.path.join(work, "lake"), num_partitions=8,
+                         key="user_id")
+        lake.init()
+        mv = MaterializedAggregate(
+            lake, "event_type",
+            {"sum_cents": ("cents", "sum"), "n_users": (None, "count")},
+            os.path.join(work, "mv"),
+        )
+        n_ep = 3
+        step = (events.num_rows + n_ep - 1) // n_ep or 1
+        for k in range(n_ep):
+            seg = events.slice(k * step, step)
+            if seg.num_rows:
+                lake.apply(rd.from_arrow(seg), [f"seg-{k}"])
+                mv.refresh()
+        return mv.read()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -2828,6 +2890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "audience_overlap": q_audience_overlap,
         "events_debounce": q_events_debounce,
+        "cdc_mv_source_counts": q_cdc_mv_source_counts,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3616,6 +3679,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
+        """,
+        "cdc_mv_source_counts": """
+            WITH latest AS (
+              SELECT user_id, event_type, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id DESC) AS rn
+              FROM events)
+            SELECT event_type, sum(cents) AS sum_cents, count(*) AS n_users
+            FROM latest
+            WHERE rn = 1 AND event_id % 10 <> 0
+            GROUP BY event_type
         """,
         "audience_overlap": """
             WITH tu AS (SELECT DISTINCT event_type, user_id FROM events
