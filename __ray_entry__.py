@@ -2770,6 +2770,84 @@ def q_cdc_mv_source_counts(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_cdc_snapshot_diff(sf_dir: str):
+    """SNAPSHOT DIFF — derive a changelog from two lake epochs (how CDC
+    bootstraps when no binlog exists): replay the events table into the
+    lake in two epochs split by an lsn threshold, then diff the epoch-1
+    and epoch-2 states with ONE full-outer hash join and classify every
+    key as insert / update / delete. Tombstones (every 10th event)
+    exercise the delete arm. The oracle recomputes both states as LWW
+    windows over the same lsn ranges."""
+    import shutil
+    import uuid
+
+    from raycdc.lake import LakeTable
+    from raycdc.ops import hash_join
+
+    work = f"/tmp/raycdc_work/snapdiff_{uuid.uuid4().hex[:8]}"
+    os.makedirs(work, exist_ok=True)
+    try:
+        ev = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        mod10 = pc.subtract(
+            ev["event_id"],
+            pc.multiply(pc.divide(ev["event_id"], pa.scalar(10, pa.int64())),
+                        pa.scalar(10, pa.int64())),
+        )
+        events = pa.table(
+            {
+                "lsn": ev["event_id"].cast(pa.int64()),
+                "op": pc.if_else(pc.equal(mod10, pa.scalar(0, pa.int64())),
+                                 "delete", "insert"),
+                "user_id": ev["user_id"],
+                "event_type": ev["event_type"],
+                "cents": pc.round(pc.multiply(ev["value"], 100.0)).cast(pa.int64()),
+            }
+        )
+        cut = (int(pc.max(events["lsn"]).as_py()) + 1) // 2
+        lake = LakeTable(os.path.join(work, "lake"), num_partitions=8,
+                         key="user_id")
+        lake.init()
+        e1 = events.filter(pc.less_equal(events["lsn"], pa.scalar(cut, pa.int64())))
+        e2 = events.filter(pc.greater(events["lsn"], pa.scalar(cut, pa.int64())))
+        lake.apply(rd.from_arrow(e1), ["seg-0"])
+        lake.apply(rd.from_arrow(e2), ["seg-1"])
+        old = lake.read(epoch=1).map_batches(
+            lambda t: t.select(["user_id", "event_type", "cents"]).rename_columns(
+                ["user_id", "type_old", "cents_old"]),
+            batch_format="pyarrow",
+        )
+        new = lake.read(epoch=2).map_batches(
+            lambda t: t.select(["user_id", "event_type", "cents"]).rename_columns(
+                ["user_id", "type_new", "cents_new"]),
+            batch_format="pyarrow",
+        )
+        j = hash_join(old, new, key="user_id", how="full")
+
+        def classify(t: pa.Table) -> pa.Table:
+            in_old = pc.is_valid(t["type_old"])
+            in_new = pc.is_valid(t["type_new"])
+            same = pc.and_(
+                pc.equal(t["type_old"], t["type_new"]).fill_null(False),
+                pc.equal(t["cents_old"], t["cents_new"]).fill_null(False),
+            )
+            change = pc.if_else(
+                pc.and_(in_old, pc.invert(in_new)), "delete",
+                pc.if_else(pc.and_(in_new, pc.invert(in_old)), "insert",
+                           pc.if_else(same, "none", "update")),
+            )
+            t = t.append_column("change", change)
+            return t.filter(pc.not_equal(t["change"], "none")).select(
+                ["user_id", "change"])
+
+        # materialize before the work dir goes away (lazy reads hold paths)
+        return j.map_batches(classify, batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -2891,6 +2969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap": q_audience_overlap,
         "events_debounce": q_events_debounce,
         "cdc_mv_source_counts": q_cdc_mv_source_counts,
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3679,6 +3758,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
+        """,
+        "cdc_snapshot_diff": """
+            WITH cut AS (SELECT (max(event_id) + 1) // 2 AS c FROM events),
+            s1 AS (SELECT user_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS cents, event_id
+                   FROM events WHERE event_id <= (SELECT c FROM cut)
+                   QUALIFY row_number() OVER (PARTITION BY user_id
+                                              ORDER BY event_id DESC) = 1),
+            s1l AS (SELECT * FROM s1 WHERE event_id % 10 <> 0),
+            s2 AS (SELECT user_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS cents, event_id
+                   FROM events
+                   QUALIFY row_number() OVER (PARTITION BY user_id
+                                              ORDER BY event_id DESC) = 1),
+            s2l AS (SELECT * FROM s2 WHERE event_id % 10 <> 0)
+            SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                   CASE WHEN b.user_id IS NULL THEN 'delete'
+                        WHEN a.user_id IS NULL THEN 'insert'
+                        ELSE 'update' END AS change
+            FROM s1l a FULL OUTER JOIN s2l b ON a.user_id = b.user_id
+            WHERE a.user_id IS NULL OR b.user_id IS NULL
+               OR a.event_type <> b.event_type OR a.cents <> b.cents
         """,
         "cdc_mv_source_counts": """
             WITH latest AS (
