@@ -69,3 +69,41 @@ def test_reshape_and_sets_on_empty_sides():
     assert _n(set_op(o, e, "except", cols=["k"])) == 1
     assert _n(set_op(e, e, "union", cols=["k"])) == 0
     assert _n(hash_join(o, e, "k", how="full")) == 1
+
+
+def test_round3b_ops_on_empty_and_single():
+    from raycdc.extras.dedup import edit_distance_pairs
+    from raycdc.ops import (
+        grouped_arg_extreme,
+        grouped_entropy,
+        grouped_mad,
+        grouped_quantile_sketch,
+        merge_intervals,
+    )
+
+    e, o = rd.from_arrow(EMPTY), rd.from_arrow(ONE)
+    assert _n(grouped_mad(e, "k", "v")) == 0
+    assert _n(grouped_entropy(e, "k", "v")) == 0
+    assert _n(grouped_arg_extreme(e, "k", "v", "o")) == 0
+    assert _n(grouped_quantile_sketch(e, "k", "v", "o", {"p50": 0.5})) == 0
+    assert _n(merge_intervals(e, "k", "v", "o")) == 0
+
+    m1 = grouped_mad(o, "k", "v").to_pandas()
+    assert m1["med"].iloc[0] == 5.0 and m1["mad"].iloc[0] == 0.0
+    h1 = grouped_entropy(o, "k", "v").to_pandas()
+    assert h1["entropy"].iloc[0] == 0.0
+    a1 = grouped_arg_extreme(o, "k", "v", "o").to_pandas()
+    assert a1["val"].iloc[0] == 5 and a1["arg"].iloc[0] == 1
+    s1 = grouped_quantile_sketch(o, "k", "v", "o", {"p50": 0.5}).to_pandas()
+    assert s1["p50"].iloc[0] == 5.0
+    w1 = merge_intervals(
+        rd.from_arrow(pa.table({"k": ["a"], "v": [1], "o": [9]})), "k", "v", "o"
+    ).to_pandas()
+    assert w1["win_start"].iloc[0] == 1 and w1["win_end"].iloc[0] == 9
+
+    ed = edit_distance_pairs(
+        rd.from_arrow(pa.table({"doc_id": pa.array([], pa.string()),
+                                "text": pa.array([], pa.string())})),
+        max_dist=3,
+    )
+    assert _n(ed) == 0
