@@ -97,6 +97,18 @@ def main(argv=None) -> int:
                     help="also drop delete tombstones (only safe once upstream "
                          "segments can no longer be replayed)")
 
+    mp = sub.add_parser(
+        "mv", help="incrementally refresh a grouped SUM/COUNT materialized view"
+    )
+    mp.add_argument("lake")
+    mp.add_argument("mv_path", help="view directory (created on first refresh)")
+    mp.add_argument("--group", required=True, help="group-by column")
+    mp.add_argument("--sum", action="append", default=[], metavar="OUT=COL",
+                    help="sum aggregate (repeatable)")
+    mp.add_argument("--count", action="append", default=[], metavar="OUT",
+                    help="row-count aggregate (repeatable)")
+    mp.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "synth":
@@ -222,6 +234,27 @@ def main(argv=None) -> int:
         dropped = lk.compact(drop_tombs=args.drop_tombstones)
         m = lk.manifest()
         print(json.dumps({"epoch": m["epoch"], "tombstones_dropped": dropped}))
+        return 0
+
+    if args.cmd == "mv":
+        _ray_up(args.num_cpus)
+        from raycdc.mv import MaterializedAggregate
+
+        specs = {}
+        for item in args.sum:
+            out, _, col = item.partition("=")
+            if not col:
+                print(f"error: --sum expects OUT=COL, got {item!r}", file=sys.stderr)
+                return 2
+            specs[out] = (col, "sum")
+        for out in args.count:
+            specs[out] = (None, "count")
+        if not specs:
+            print("error: give at least one --sum/--count", file=sys.stderr)
+            return 2
+        view = MaterializedAggregate(lk, args.group, specs, args.mv_path)
+        t = view.refresh()
+        print(json.dumps({"epoch": view.epoch(), "groups": t.num_rows}))
         return 0
 
     return 1

@@ -95,6 +95,28 @@ def test_cli_lifecycle(tmp_path, capsys):
     assert main(["read", lake, "--out", tt, "--epoch", "1"]) == 0
     assert pq.read_table(tt).num_rows == 500  # the seeded base, pre-events
 
+    # incremental materialized view over the converged state: per-source
+    # token totals; must equal the full-recompute aggregate of the snapshot
+    mv_dir = str(tmp_path / "mv")
+    assert main(["mv", lake, mv_dir, "--group", "source",
+                 "--sum", "sum_tok=n_tok", "--count", "n_docs"]) == 0
+    mv_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mv_out["epoch"] == 2 and mv_out["groups"] > 0
+    snap_t = pq.read_table(snap)
+    want = snap_t.group_by("source").aggregate(
+        [("n_tok", "sum"), ("doc_id", "count")])
+    got = pq.read_table(str(tmp_path / "mv" / "mv-00000002.parquet"))
+    w = {want["source"][i].as_py(): (want["n_tok_sum"][i].as_py(),
+                                     want["doc_id_count"][i].as_py())
+         for i in range(want.num_rows)}
+    g = {got["source"][i].as_py(): (got["sum_tok"][i].as_py(),
+                                    got["n_docs"][i].as_py())
+         for i in range(got.num_rows)}
+    assert g == w
+    # idempotent at the same epoch
+    assert main(["mv", lake, mv_dir, "--group", "source",
+                 "--sum", "sum_tok=n_tok", "--count", "n_docs"]) == 0
+
     assert main(["vacuum", lake]) == 0
 
 
