@@ -2848,6 +2848,80 @@ def q_cdc_snapshot_diff(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_lineitem_regression(sf_dir: str):
+    """Per-flag OLS of extended price (whole dollars) on quantity
+    (whole units): slope, intercept, r² through the moment_agg combiner
+    — exact-integer inputs + fixed finalize order = bit-equal to the
+    mirrored SQL expressions (one pass, no shuffle of rows)."""
+    from raycdc.ops import moment_agg
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "qty": pc.divide(
+                    pc.round(pc.multiply(t["l_quantity"], 100.0)).cast(pa.int64()),
+                    pa.scalar(100, pa.int64()),
+                ),
+                "price_d": pc.divide(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)).cast(pa.int64()),
+                    pa.scalar(100, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return moment_agg(
+        li, "l_returnflag",
+        {
+            "slope": ("qty", "price_d", "regr_slope"),
+            "intercept": ("qty", "price_d", "regr_intercept"),
+            "r2": ("qty", "price_d", "r2"),
+        },
+    )
+
+
+def q_events_locf(sf_dir: str):
+    """Per-user forward-fill (LOCF) imputation: every 7th event's value
+    is masked to NULL, then each NULL takes the user's most recent
+    non-null value in (ts, event_id) order — the time-series gap-fill,
+    one bucket shuffle + one vectorized carry pass. Oracle:
+    last_value(... IGNORE NULLS) OVER (ROWS UNBOUNDED PRECEDING)."""
+    from raycdc.ops import grouped_locf
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": pc.if_else(
+                    pc.equal(
+                        pc.subtract(
+                            t["event_id"],
+                            pc.multiply(pc.divide(t["event_id"],
+                                                  pa.scalar(7, pa.int64())),
+                                        pa.scalar(7, pa.int64())),
+                        ),
+                        pa.scalar(0, pa.int64()),
+                    ),
+                    pa.nulls(t.num_rows, pa.int64()),
+                    pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_locf(ev, "user_id", ["ts", "event_id"], "cents")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "filled"]),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -2970,6 +3044,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": q_events_debounce,
         "cdc_mv_source_counts": q_cdc_mv_source_counts,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
+        "lineitem_regression": q_lineitem_regression,
+        "events_locf": q_events_locf,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3758,6 +3834,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
+        """,
+        "lineitem_regression": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(round(l_quantity * 100) AS BIGINT) // 100 AS x,
+                              CAST(round(l_extendedprice * 100) AS BIGINT) // 100
+                                AS y
+                       FROM lineitem),
+            p AS (SELECT l_returnflag,
+                         CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+                         CAST(sum(y) AS DOUBLE) AS sy,
+                         CAST(sum(x*y) AS DOUBLE) AS sxy,
+                         CAST(sum(x*x) AS DOUBLE) AS sxx,
+                         CAST(sum(y*y) AS DOUBLE) AS syy
+                  FROM c GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   (sxy - sx*(sy/n)) / (sxx - sx*(sx/n)) AS slope,
+                   sy/n - ((sxy - sx*(sy/n)) / (sxx - sx*(sx/n))) * (sx/n)
+                     AS intercept,
+                   ((sxy - sx*(sy/n)) * (sxy - sx*(sy/n)))
+                     / ((sxx - sx*(sx/n)) * (syy - sy*(sy/n))) AS r2
+            FROM p
+        """,
+        "events_locf": """
+            WITH m AS (SELECT event_id, user_id, ts,
+                              CASE WHEN event_id % 7 = 0 THEN NULL
+                                   ELSE CAST(round(value * 100) AS BIGINT)
+                              END AS cents
+                       FROM events)
+            SELECT event_id, user_id,
+                   last_value(cents IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS filled
+            FROM m
         """,
         "cdc_snapshot_diff": """
             WITH cut AS (SELECT (max(event_id) + 1) // 2 AS c FROM events),

@@ -1900,7 +1900,8 @@ def moment_agg(
     singles = {"mean", "var_pop", "var_samp", "std_pop", "std_samp",
                "skew_pop", "kurt_pop"}
     cubics = {"skew_pop", "kurt_pop"}
-    pairs = {"covar_pop", "covar_samp", "corr", "wmean"}
+    pairs = {"covar_pop", "covar_samp", "corr", "wmean",
+             "regr_slope", "regr_intercept", "r2"}
     for out, spec in specs.items():
         kern = spec[-1]
         if kern in singles and len(spec) != 2:
@@ -2004,6 +2005,24 @@ def moment_agg(
                         syy = np.asarray(t.column(f"{out}__syy"), dtype=np.float64)
                         d2 = (sxx - sx * (sx / n)) * (syy - sy * (sy / n))
                         v, bad = cov / np.sqrt(d2), (n == 0) | (d2 <= 0)
+                    elif kern in ("regr_slope", "regr_intercept", "r2"):
+                        # OLS of y on x; fixed expression order (see class
+                        # docstring) so an exact-int SQL mirror is bit-equal:
+                        #   slope = cov / mxx ; intercept = sy/n - slope*(sx/n)
+                        #   r2    = (cov * cov) / (mxx * myy)
+                        sxx = np.asarray(t.column(f"{out}__sxx"), dtype=np.float64)
+                        mxx = sxx - sx * (sx / n)
+                        if kern == "regr_slope":
+                            v, bad = cov / mxx, (n == 0) | (mxx == 0)
+                        elif kern == "regr_intercept":
+                            slope = cov / mxx
+                            v = sy / n - slope * (sx / n)
+                            bad = (n == 0) | (mxx == 0)
+                        else:
+                            syy = np.asarray(t.column(f"{out}__syy"), dtype=np.float64)
+                            myy = syy - sy * (sy / n)
+                            v = (cov * cov) / (mxx * myy)
+                            bad = (n == 0) | (mxx == 0) | (myy == 0)
                     else:
                         den = n if kern.endswith("pop") else n - 1
                         v, bad = cov / den, (n == 0) | (den == 0)
@@ -3387,6 +3406,64 @@ def merge_intervals(
         if count_col is not None:
             out[count_col] = pa.array(lens, pa.int64())
         return pa.table(out)
+
+    return (
+        ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def grouped_locf(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "filled",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-key LAST-OBSERVATION-CARRIED-FORWARD imputation: each NULL
+    takes the key's most recent non-null value in the given order (SQL
+    ``last_value(val IGNORE NULLS) OVER (PARTITION BY key ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)``); a key's leading NULLs stay NULL. The
+    time-series gap-fill. One bounded bucket shuffle; in-bucket the fill
+    is one vectorized pass — the index of each row's latest valid row is
+    a ``np.maximum.accumulate`` over (position where valid, run-start at
+    key changes), then a single Arrow take."""
+    from raycdc.util import bucket_of
+
+    order = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(bucket_of(t.column(key), num_buckets)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=order)).combine_chunks()
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, g.column(val_col))
+        new_key = _run_boundaries(g.column(key), n)
+        starts = np.flatnonzero(new_key)
+        run = np.cumsum(new_key) - 1
+        pos = np.arange(n)
+        valid = np.asarray(pc.is_valid(g.column(val_col)))
+        # carry the latest valid position forward, but never across a key
+        # boundary: seed each run at its start with (start - 1) sentinel
+        # lifted per run so cummax can't leak the previous key's carry
+        seed = np.where(valid, pos, -1)
+        # lift by run: within-run cummax of seed, independent per run
+        lifted = seed + run * np.int64(n + 1)
+        carry = np.maximum.accumulate(
+            np.where(valid, lifted, np.minimum(lifted, run * np.int64(n + 1) - 1))
+        ) - run * np.int64(n + 1)
+        src = pa.array(np.where(carry >= 0, np.maximum(carry, 0), -1),
+                       pa.int64())
+        filled = g.column(val_col).take(
+            pc.if_else(pc.greater_equal(src, 0), src, pa.nulls(n, pa.int64()))
+        )
+        return g.append_column(out_col, filled)
 
     return (
         ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)

@@ -1747,3 +1747,62 @@ def test_merge_intervals_contained_interval_keeps_running_max():
     assert len(df) == 1
     assert df.iloc[0]["win_start"] == 0 and df.iloc[0]["win_end"] == 100
     assert df.iloc[0]["n_events"] == 3
+
+
+def test_moment_agg_regression_bitexact_vs_sql():
+    t = _events(n=2500, seed=4242, with_nulls=True)
+    t = t.append_column("y", pc.add(pc.divide(t["cents"], 100), 7))
+    from raycdc.ops import moment_agg
+
+    out = moment_agg(
+        rd.from_arrow(t).repartition(3), "etype",
+        {"slope": ("cents", "y", "regr_slope"),
+         "icpt": ("cents", "y", "regr_intercept"),
+         "r2": ("cents", "y", "r2")},
+    ).to_pandas().sort_values("etype").reset_index(drop=True)
+    want = _duck(
+        t,
+        """
+        WITH c AS (SELECT etype, cents AS x, y FROM events
+                   WHERE cents IS NOT NULL AND y IS NOT NULL),
+        p AS (SELECT etype, CAST(count(*) AS DOUBLE) n,
+                     CAST(sum(x) AS DOUBLE) sx, CAST(sum(y) AS DOUBLE) sy,
+                     CAST(sum(x*y) AS DOUBLE) sxy, CAST(sum(x*x) AS DOUBLE) sxx,
+                     CAST(sum(y*y) AS DOUBLE) syy
+              FROM c GROUP BY etype)
+        SELECT etype,
+               (sxy - sx*(sy/n)) / (sxx - sx*(sx/n)) AS slope,
+               sy/n - ((sxy - sx*(sy/n)) / (sxx - sx*(sx/n))) * (sx/n) AS icpt,
+               ((sxy - sx*(sy/n)) * (sxy - sx*(sy/n)))
+                 / ((sxx - sx*(sx/n)) * (syy - sy*(sy/n))) AS r2
+        FROM p
+        """,
+    ).to_pandas().sort_values("etype").reset_index(drop=True)
+    for c in ("slope", "icpt", "r2"):
+        a, b = out[c].to_numpy(), want[c].to_numpy()
+        nn = np.isnan(a) & np.isnan(b)
+        assert ((a == b) | nn).all()  # bit-exact
+
+
+def test_grouped_locf_matches_ignore_nulls_window():
+    t = _events(n=3000, seed=606, with_nulls=True)  # ~5% null cents
+    from raycdc.ops import grouped_locf
+
+    out = (
+        grouped_locf(rd.from_arrow(t).repartition(4), "user_id",
+                     ["ts", "event_id"], "cents")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    want = _duck(
+        t,
+        """
+        SELECT event_id,
+               last_value(cents IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS filled
+        FROM events ORDER BY event_id
+        """,
+    ).to_pandas().reset_index(drop=True)
+    a, b = out["filled"].to_numpy(dtype=float), want["filled"].to_numpy(dtype=float)
+    nn = np.isnan(a) & np.isnan(b)
+    assert ((a == b) | nn).all()
