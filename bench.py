@@ -241,15 +241,22 @@ def run_scaling() -> dict:
     # so wait for a nominal phase (bounded), recording the probe value at
     # measurement time so every JSON is self-documenting.
     thr = float(os.environ.get("RAYCDC_SCALING_MIN_BW_MB", "4000"))
+    # the 32-cpu level's unscalable term is dominated by PARALLEL page
+    # allocation (BASELINE.md: the host anti-scales it up to 4x in bad
+    # phases), so gate on the 32-way alloc probe too — waiting out a
+    # phase measures the engine instead of the allocator
+    alloc_thr = float(os.environ.get("RAYCDC_SCALING_MIN_ALLOC_MB", "2200"))
     max_wait_s = float(os.environ.get("RAYCDC_SCALING_PHASE_WAIT_S", "900"))
     waited = 0.0
     gate_bw = measure_write_bandwidth(8)
-    while gate_bw < thr and waited < max_wait_s:
-        print(f"[phase-gate] host write probe {gate_bw} MB/s < {thr}; waiting",
-              file=sys.stderr)
+    gate_ab = measure_alloc_bandwidth(32)
+    while (gate_bw < thr or gate_ab < alloc_thr) and waited < max_wait_s:
+        print(f"[phase-gate] write {gate_bw} MB/s (need {thr}) / 32-way alloc "
+              f"{gate_ab} MB/s (need {alloc_thr}); waiting", file=sys.stderr)
         time.sleep(60)
         waited += 60
         gate_bw = measure_write_bandwidth(8)
+        gate_ab = measure_alloc_bandwidth(32)
     # interleave the two levels and keep the min per level: this sandbox
     # has multi-minute host phases where page population is 2-5x slower
     # (BASELINE.md caveat); alternating runs sample both levels across
@@ -261,8 +268,14 @@ def run_scaling() -> dict:
     # time; each --scaling run appends its samples and reports both the
     # this-run and the pooled efficiency (BASELINE.md quotes the pooled,
     # conservative value).
+    # durable pool: WORK_ROOT lives on tmpfs and dies with the host, which
+    # silently resets the pooled minimum between sessions — keep the pool
+    # next to the repo so samples accumulate across rounds
     pool_path = os.environ.get(
-        "RAYCDC_SCALING_POOL", os.path.join(WORK_ROOT, "scaling_samples.jsonl"))
+        "RAYCDC_SCALING_POOL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_artifacts", "scaling_samples.jsonl"))
+    os.makedirs(os.path.dirname(pool_path), exist_ok=True)
     samples = []
     best = {8: None, 32: None}
     for _ in range(rounds):
@@ -326,6 +339,7 @@ def run_scaling() -> dict:
         "n_events": lo["n_events"],
         "rounds": rounds,
         "phase_gate_bw_mb_s": gate_bw,
+        "phase_gate_alloc_mb_s": gate_ab,
         "phase_gate_waited_s": waited,
         **pooled,
     }
