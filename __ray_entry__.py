@@ -2922,6 +2922,36 @@ def q_events_locf(sf_dir: str):
     )
 
 
+def q_lineitem_shared_scan(sf_dir: str):
+    """Batched group-bys over ONE scan (LMFAO, VLDB 2020): count +
+    quantity-cents sum grouped by THREE dimensions — returnflag,
+    linestatus, and ship-month (a derived dimension) — reading lineitem
+    once instead of three times; results melt into (dim, key) rows.
+    Oracle: UNION ALL of the three GROUP BYs in the same melted shape."""
+    from raycdc.ops import shared_scan_agg
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "ship_month": pc.strftime(t["l_shipdate"], format="%Y-%m"),
+                "qty_c": pc.round(pc.multiply(t["l_quantity"], 100.0)).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return shared_scan_agg(
+        li,
+        dims={"returnflag": "l_returnflag", "linestatus": "l_linestatus",
+              "ship_month": "ship_month"},
+        specs={"n": ("qty_c", "count"), "sum_qty_c": ("qty_c", "sum")},
+    )
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3046,6 +3076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "lineitem_regression": q_lineitem_regression,
         "events_locf": q_events_locf,
+        "lineitem_shared_scan": q_lineitem_shared_scan,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3834,6 +3865,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
+        """,
+        "lineitem_shared_scan": """
+            WITH c AS (SELECT l_returnflag, l_linestatus,
+                              strftime(l_shipdate, '%Y-%m') AS ship_month,
+                              CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+                       FROM lineitem)
+            SELECT 'returnflag' AS dim, l_returnflag AS key,
+                   count(*) AS n, sum(qty_c) AS sum_qty_c
+            FROM c GROUP BY l_returnflag
+            UNION ALL
+            SELECT 'linestatus', l_linestatus, count(*), sum(qty_c)
+            FROM c GROUP BY l_linestatus
+            UNION ALL
+            SELECT 'ship_month', ship_month, count(*), sum(qty_c)
+            FROM c GROUP BY ship_month
         """,
         "lineitem_regression": """
             WITH c AS (SELECT l_returnflag,

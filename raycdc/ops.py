@@ -3470,3 +3470,56 @@ def grouped_locf(
         .groupby("_bucket")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def shared_scan_agg(
+    ds: ray.data.Dataset,
+    dims: dict,
+    specs: dict[str, tuple[str, str]],
+    dim_col: str = "dim",
+    key_col: str = "key",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """BATCHED group-bys over ONE shared scan (the LMFAO shape — "An
+    Engine for Batches of Group-By Aggregates", VLDB 2020): compute the
+    same aggregates grouped by K different dimensions while reading the
+    input exactly once, instead of K scans. Per batch, every dimension's
+    exact local partial is computed from the already-loaded Arrow batch
+    and melted to ``(dim, key)`` rows (keys stringified to share one
+    schema); ONE combiner shuffle then folds all dimensions together —
+    shuffle volume is the sum of the K vocabulary-sized partial streams,
+    and the input bytes are touched once.
+
+    ``dims``: out-label -> column name, or -> callable(batch) returning
+    an Arrow array (a derived dimension, e.g. a date truncation).
+    ``specs``: out -> (value_col, "sum"|"count"|"min"|"max")."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for label, src in dims.items():
+            keys = src(t) if callable(src) else t.column(src)
+            if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+                keys = pa.array(keys)
+            cols = {key_col: keys.cast(pa.string())}
+            aggs = []
+            for out, (col, kern) in specs.items():
+                cols[f"_{out}"] = t.column(col)
+                if kern == "count":
+                    aggs.append((f"_{out}", "count", pc.CountOptions(mode="all")))
+                else:
+                    aggs.append((f"_{out}", kern))
+            g = pa.table(cols).group_by([key_col]).aggregate(aggs)
+            ren = {f"_{out}_{'count' if kern == 'count' else kern}": out
+                   for out, (_, kern) in specs.items()}
+            g = g.rename_columns([ren.get(n, n) for n in g.column_names])
+            outs.append(g.append_column(
+                dim_col, pa.array([label] * g.num_rows, pa.string())))
+        return pa.concat_tables(outs, promote_options="permissive")
+
+    merged = partial_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size),
+        [dim_col, key_col],
+        {out: (out, "sum" if kern == "count" else kern)
+         for out, (_, kern) in specs.items()},
+    )
+    return merged
