@@ -2952,6 +2952,63 @@ def q_lineitem_shared_scan(sf_dir: str):
     )
 
 
+def q_corr_customer_orders(sf_dir: str):
+    """Exact JOIN-CORRELATION: Pearson corr between a customer's account
+    balance and their total order value — per-customer combiner sum,
+    one bounded hash join, then the corr moment kernel over a single
+    group (exact integer cents ⇒ bit-equal to the mirrored SQL
+    expression). The exact baseline the corr_join_sketch estimator is
+    pytest-gated against."""
+    from raycdc.ops import hash_join, moment_agg, partial_groupby_agg
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["c_custkey"],
+                # +1000.00 shift keeps the cents non-negative so integer
+                # division agrees between Arrow (trunc) and SQL (floor);
+                # Pearson corr is shift-invariant
+                "bal_d": pc.divide(
+                    pc.add(
+                        pc.round(pc.multiply(t["c_acctbal"], 100.0)).cast(pa.int64()),
+                        pa.scalar(100000, pa.int64()),
+                    ),
+                    pa.scalar(100, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "tot_c": pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # exact cents sum per customer, then quantize to HUNDREDS of dollars:
+    # keeps Σy² ≪ 2**53 (float64-exact) through sf1 — the bit-exactness
+    # contract of the corr kernel
+    tot = partial_groupby_agg(orders, "o_custkey", {"tot_c": ("tot_c", "sum")}).map_batches(
+        lambda t: pa.table({
+            "o_custkey": t["o_custkey"],
+            "tot_h": pc.divide(t["tot_c"], pa.scalar(10000, pa.int64())),
+        }),
+        batch_format="pyarrow",
+    )
+    j = hash_join(cust, tot, key="o_custkey").map_batches(
+        lambda t: t.append_column("one", pa.array([1] * t.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+    return moment_agg(j, "one", {"corr_bal_orders": ("bal_d", "tot_h", "corr")})
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3077,6 +3134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_regression": q_lineitem_regression,
         "events_locf": q_events_locf,
         "lineitem_shared_scan": q_lineitem_shared_scan,
+        "corr_customer_orders": q_corr_customer_orders,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3865,6 +3923,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
+        """,
+        "corr_customer_orders": """
+            WITH o AS (SELECT o_custkey,
+                              sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 10000
+                                AS y
+                       FROM orders GROUP BY o_custkey),
+            j AS (SELECT (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100
+                     AS x, o.y
+                  FROM customer c JOIN o ON c.c_custkey = o.o_custkey),
+            p AS (SELECT CAST(count(*) AS DOUBLE) n, CAST(sum(x) AS DOUBLE) sx,
+                         CAST(sum(y) AS DOUBLE) sy, CAST(sum(x*y) AS DOUBLE) sxy,
+                         CAST(sum(x*x) AS DOUBLE) sxx, CAST(sum(y*y) AS DOUBLE) syy
+                  FROM j)
+            SELECT 1 AS one,
+                   (sxy - sx*(sy/n))
+                     / sqrt((sxx - sx*(sx/n)) * (syy - sy*(sy/n)))
+                     AS corr_bal_orders
+            FROM p
         """,
         "lineitem_shared_scan": """
             WITH c AS (SELECT l_returnflag, l_linestatus,

@@ -3523,3 +3523,66 @@ def shared_scan_agg(
          for out, (_, kern) in specs.items()},
     )
     return merged
+
+
+def corr_join_sketch(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    xcol: str,
+    ycol: str,
+    k: int = 4096,
+    seed: int = 0xC0DE,
+    batch_size: int = 65536,
+) -> float:
+    """JOIN-CORRELATION estimate from a KMV key-sample — the
+    correlation-sketch move ("A Sketch-based Index for Correlated
+    Dataset Search", ICDE 2022): instead of materializing left ⋈ right
+    to correlate x with y, both sides keep only the rows whose KEY hash
+    is among the k smallest (the same keyed hash on both sides selects
+    the SAME keys — a coordinated bottom-k sample of the join), and the
+    Pearson correlation of the tiny joined sample estimates the full
+    join's. Each side's scan reduces to per-batch bottom-k partials
+    (vectorized np.partition), so nothing key-cardinality-sized
+    shuffles or lands on the driver beyond 2k rows.
+
+    Returns a float (NaN when the sample has <2 rows or zero variance).
+    Accuracy is O(1/sqrt(k)) — pytest-gated, not SQL-oracled. Assumes
+    ``key`` is unique per side (dimension-style inputs); duplicate keys
+    are sampled all-or-none, which keeps the estimator unbiased."""
+    from raycdc.util import str_hash_u64
+
+    def side_sample(ds: ray.data.Dataset, val: str) -> dict:
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.select([key, val]).filter(pc.is_valid(t.column(val)))
+            h = str_hash_u64(t.column(key).cast(pa.string()), seed=seed)
+            if len(h) > k:
+                idx = np.argpartition(h, k)[:k]
+                t = t.take(pa.array(idx))
+                h = h[idx]
+            return t.append_column("_h", pa.array(h.view(np.int64)))
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=batch_size)
+        rows: dict = {}
+        best: list = []
+        for t in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for kk, vv, hh in zip(t.column(key).to_pylist(),
+                                  t.column(val).to_pylist(),
+                                  t.column("_h").to_pylist()):
+                best.append((hh, kk, vv))
+        best.sort()
+        return {kk: vv for _, kk, vv in best[:k]}
+
+    ls = side_sample(left, xcol)
+    rs = side_sample(right, ycol)
+    common = sorted(set(ls) & set(rs))
+    if len(common) < 2:
+        return float("nan")
+    x = np.array([ls[c] for c in common], dtype=np.float64)
+    y = np.array([rs[c] for c in common], dtype=np.float64)
+    n = float(len(x))
+    cov = (x * y).sum() - x.sum() * (y.sum() / n)
+    d2 = ((x * x).sum() - x.sum() * (x.sum() / n)) * \
+         ((y * y).sum() - y.sum() * (y.sum() / n))
+    return float(cov / np.sqrt(d2)) if d2 > 0 else float("nan")

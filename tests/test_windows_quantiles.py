@@ -1806,3 +1806,28 @@ def test_grouped_locf_matches_ignore_nulls_window():
     a, b = out["filled"].to_numpy(dtype=float), want["filled"].to_numpy(dtype=float)
     nn = np.isnan(a) & np.isnan(b)
     assert ((a == b) | nn).all()
+
+
+def test_corr_join_sketch_tracks_exact_join_correlation():
+    from raycdc.ops import corr_join_sketch
+
+    rng = np.random.default_rng(2026)
+    n = 20000
+    keys = pa.array([f"k{i:06d}" for i in range(n)])
+    x = rng.normal(0, 1, n)
+    y = 0.7 * x + rng.normal(0, 1, n) * np.sqrt(1 - 0.49)  # true corr ≈ 0.7
+    left = pa.table({"id": keys, "x": pa.array(np.round(x * 1000).astype(np.int64))})
+    right = pa.table({"id": keys, "y": pa.array(np.round(y * 1000).astype(np.int64))})
+    exact = float(np.corrcoef(left["x"].to_numpy().astype(float),
+                              right["y"].to_numpy().astype(float))[0, 1])
+    est = corr_join_sketch(
+        rd.from_arrow(left).repartition(5), rd.from_arrow(right).repartition(3),
+        key="id", xcol="x", ycol="y", k=2048,
+    )
+    assert abs(est - exact) < 0.08, (est, exact)
+    # deterministic: same inputs, different partitioning, same estimate
+    est2 = corr_join_sketch(
+        rd.from_arrow(left).repartition(2), rd.from_arrow(right).repartition(7),
+        key="id", xcol="x", ycol="y", k=2048,
+    )
+    assert est == est2
