@@ -3009,6 +3009,20 @@ def q_corr_customer_orders(sf_dir: str):
     return moment_agg(j, "one", {"corr_bal_orders": ("bal_d", "tot_h", "corr")})
 
 
+def q_bm25_search(sf_dir: str):
+    """BM25 ranked retrieval for the fixed query {hash, join, merge}:
+    per-doc tf/len in one vectorized token pass, corpus df/N/avglen
+    from a tiny aggregate broadcast back, Okapi scoring, deterministic
+    top-20 (ordered by the ROUNDED score then id — the round-6 contract
+    absorbs the one non-IEEE-fixed op, ln())."""
+    from raycdc.extras.text import bm25_topk
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return bm25_topk(docs, ["hash", "join", "merge"], k=20)
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3135,6 +3149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_locf": q_events_locf,
         "lineitem_shared_scan": q_lineitem_shared_scan,
         "corr_customer_orders": q_corr_customer_orders,
+        "bm25_search": q_bm25_search,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3923,6 +3938,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week, count(DISTINCT w.user_id) AS users
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
+        """,
+        "bm25_search": """
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                       FROM documents),
+            d AS (SELECT doc_id, len(ws) AS dl,
+                         len(list_filter(ws, x -> x = 'hash'))  AS tf0,
+                         len(list_filter(ws, x -> x = 'join'))  AS tf1,
+                         len(list_filter(ws, x -> x = 'merge')) AS tf2
+                  FROM w),
+            s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(dl) AS DOUBLE) AS sumlen,
+                         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                           AS df0,
+                         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                           AS df1,
+                         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                           AS df2
+                  FROM d)
+            SELECT doc_id,
+                   ROUND(
+                     0.0
+                     + ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                       * ((tf0 * (1.2 + 1.0))
+                          / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumlen / n)))))
+                     + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                       * ((tf1 * (1.2 + 1.0))
+                          / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumlen / n)))))
+                     + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                       * ((tf2 * (1.2 + 1.0))
+                          / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sumlen / n))))),
+                     6) AS score
+            FROM d, s
+            ORDER BY score DESC, doc_id
+            LIMIT 20
         """,
         "corr_customer_orders": """
             WITH o AS (SELECT o_custkey,

@@ -548,3 +548,78 @@ def word_heavy_hitters(
         lambda t: t.filter(pc.greater_equal(t["n"], pa.scalar(T, pa.int64()))),
         batch_format="pyarrow",
     )
+
+
+def bm25_topk(
+    ds: "ray.data.Dataset",
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    ndigits: int = 6,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """BM25 ranked retrieval for a fixed term list — the search-scoring
+    pipeline: per-doc term frequencies and lengths (one vectorized
+    token pass), corpus df/N/avglen from two TINY aggregates broadcast
+    back, Okapi BM25 scored per doc, deterministic top-k.
+
+    Exactness contract: tf/df/len/N are exact integers and the score
+    expression is evaluated in a FIXED order mirrored by the SQL
+    oracle; only ln() may differ by an ulp between engines, so scores
+    round to ``ndigits`` AND the ranking orders by the ROUNDED score
+    (then id) — bit-stable top-k on both sides."""
+    import polars as pl
+
+    import ray
+
+    from raycdc.ops import top_k
+
+    terms = list(terms)
+
+    def tf_len(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).cast(pa.string()).combine_chunks()
+        s = pl.Series("w", pl.from_arrow(col)).str.to_lowercase()
+        words = s.str.extract_all(WORD_PATTERN)
+        out = {id_col: t.column(id_col), "_len": pa.array(
+            words.list.len().to_numpy().astype(np.int64))}
+        for i, term in enumerate(terms):
+            tf = words.list.eval(pl.element().filter(pl.element() == term)).list.len()
+            out[f"_tf{i}"] = pa.array(tf.to_numpy().astype(np.int64))
+        return pa.table(out)
+
+    docs = ds.map_batches(tf_len, batch_format="pyarrow", batch_size=batch_size)
+    docs = docs.materialize()  # two consumers: corpus stats + scoring
+    stats = {"N": 0, "sumlen": 0, **{f"df{i}": 0 for i in range(len(terms))}}
+    for t in docs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        stats["N"] += t.num_rows
+        stats["sumlen"] += int(pc.sum(t["_len"]).as_py() or 0)
+        for i in range(len(terms)):
+            stats[f"df{i}"] += int(
+                pc.sum(pc.greater(t[f"_tf{i}"], 0).cast(pa.int8())).as_py() or 0)
+    N, sumlen = float(stats["N"]), float(stats["sumlen"])
+    avglen = sumlen / N if N else 1.0
+    idf = [float(np.log((N - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5) + 1.0))
+           for i in range(len(terms))]
+    ref = ray.put((idf, avglen))
+
+    class Score:
+        def __init__(self):
+            self.idf, self.avglen = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ln = np.asarray(t["_len"], dtype=np.float64)
+            norm = k1 * (1.0 - b + b * (ln / self.avglen))
+            score = np.zeros(t.num_rows, dtype=np.float64)
+            for i in range(len(terms)):  # fixed term order = SQL's + order
+                tf = np.asarray(t[f"_tf{i}"], dtype=np.float64)
+                score = score + self.idf[i] * ((tf * (k1 + 1.0)) / (tf + norm))
+            return pa.table({
+                id_col: t[id_col],
+                "score": pa.array(np.round(score, ndigits), pa.float64()),
+            })
+
+    scored = docs.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
+    return top_k(scored, by="score", k=k, descending=True, tiebreak=id_col)
