@@ -107,3 +107,17 @@ def test_round3b_ops_on_empty_and_single():
         max_dist=3,
     )
     assert _n(ed) == 0
+
+
+def test_shared_scan_and_bm25_on_empty_and_single():
+    from raycdc.extras.text import bm25_topk
+    from raycdc.ops import shared_scan_agg
+
+    e = rd.from_arrow(EMPTY)
+    assert _n(shared_scan_agg(e, {"k": "k"}, {"n": ("v", "count")})) == 0
+    one = rd.from_arrow(pa.table({"doc_id": ["d1"], "text": ["hash join fast"]}))
+    df = bm25_topk(one, ["hash", "merge"], k=5).to_pandas()
+    assert len(df) == 1 and df["doc_id"].iloc[0] == "d1"
+    empty_docs = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.string()),
+                                         "text": pa.array([], pa.string())}))
+    assert _n(bm25_topk(empty_docs, ["hash"], k=5)) == 0
