@@ -97,6 +97,10 @@ def main(argv=None) -> int:
                     help="also drop delete tombstones (only safe once upstream "
                          "segments can no longer be replayed)")
 
+    lp = sub.add_parser("lineage", help="per-partition provenance from manifests")
+    lp.add_argument("lake")
+    lp.add_argument("--pid", type=int, default=None, help="restrict to one partition")
+
     mp = sub.add_parser(
         "mv", help="incrementally refresh a grouped SUM/COUNT materialized view"
     )
@@ -234,6 +238,13 @@ def main(argv=None) -> int:
         dropped = lk.compact(drop_tombs=args.drop_tombstones)
         m = lk.manifest()
         print(json.dumps({"epoch": m["epoch"], "tombstones_dropped": dropped}))
+        return 0
+
+    if args.cmd == "lineage":
+        from raycdc.lake import lineage
+
+        for row in lineage(lk, pid=args.pid):
+            print(json.dumps(row))
         return 0
 
     if args.cmd == "mv":

@@ -897,3 +897,51 @@ class LakeTable:
         """Drop tombstones from state files (safe once upstream segments
         can no longer be replayed). Writes a new epoch. Returns dropped count."""
         return self.compact(drop_tombs=True)
+
+
+def lineage(lake: "LakeTable", pid: int | None = None) -> list[dict]:
+    """Per-partition LINEAGE from the retained manifest snapshots: for
+    every epoch, which changelog segments fed it and which state files
+    each partition gained (plus the partition's LSN watermark after the
+    epoch) — the provenance record the north-star names beside metrics.
+    Derived entirely from immutable manifests (no data reads); epochs
+    already vacuumed have no snapshot and are omitted."""
+    rows: list[dict] = []
+    prev_segs: set = set()
+    prev_files: dict = {}
+    for e in lake.epochs():
+        m = lake.manifest(e)
+        segs = set(m.get("segments_applied", []))
+        new_segs = sorted(segs - prev_segs)
+        for spid, ent in sorted(m.get("partitions", {}).items(), key=lambda kv: int(kv[0])):
+            ipid = int(spid)
+            if pid is not None and ipid != pid:
+                continue
+            base, deltas = _part_files(ent)
+            files = set([base] if base else []) | set(deltas)
+            added = sorted(files - prev_files.get(ipid, set()))
+            if e == 0 or added or new_segs:
+                rows.append({
+                    "epoch": e,
+                    "pid": ipid,
+                    "segments": new_segs,
+                    "files_added": added,
+                    "watermark": ent.get("watermark"),
+                    "live_rows": ent.get("live_rows"),
+                })
+            prev_files[ipid] = files
+        seen_l0 = prev_files.get(-1, set())
+        for ent in m.get("l0", []):
+            if ent["file"] in seen_l0:
+                continue
+            rows.append({
+                "epoch": e,
+                "pid": None,  # L0 runs span partitions (bucket-sorted)
+                "segments": new_segs,
+                "files_added": [ent["file"]],
+                "watermark": ent.get("watermark"),
+                "live_rows": None,
+            })
+        prev_files[-1] = seen_l0 | {x["file"] for x in m.get("l0", [])}
+        prev_segs = segs
+    return rows

@@ -98,3 +98,27 @@ def test_mv_falls_back_to_full_recompute_after_vacuum(tmp_path):
            for i in range(t.num_rows)}
     assert got == {g: v[0] for g, v in _full(lake).items()}
     assert mv.epoch() == int(lake.manifest()["epoch"])
+
+
+def test_lineage_traces_segments_and_files(tmp_path):
+    from raycdc.lake import lineage
+
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=2, key="doc_id")
+    lake.init()
+    lake.apply(rd.from_arrow(_ev([(1, "insert", "d1", "a", 5),
+                                  (2, "insert", "d2", "b", 6)])), ["segA"])
+    lake.apply(rd.from_arrow(_ev([(3, "update", "d1", "a", 9)])), ["segB"])
+    rows = lineage(lake)
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    # epoch 1 fed by segA, epoch 2 by segB; every epoch-2 row carries
+    # the new watermark and at least one added state file
+    assert any("segA" in r["segments"] for r in by_epoch[1])
+    e2 = [r for r in by_epoch[2] if r["files_added"]]
+    assert e2 and all(r["segments"] == ["segB"] for r in e2)
+    assert all(r["watermark"] >= 3 for r in e2 if r["watermark"] is not None)
+    # pid filter returns only that partition's rows
+    touched = next(r["pid"] for r in rows if r["pid"] is not None)
+    only = lineage(lake, pid=touched)
+    assert only and all(r["pid"] == touched for r in only)
