@@ -3023,6 +3023,77 @@ def q_bm25_search(sf_dir: str):
     return bm25_topk(docs, ["hash", "join", "merge"], k=20)
 
 
+_PAGERANK_ITERS = 8
+
+
+def q_supplier_pagerank(sf_dir: str):
+    """Distributed PageRank (the iterative join-aggregate archetype)
+    over the supplier→customer fulfillment graph: edges are distinct
+    (supplier, customer) pairs from lineitem⋈orders; 8 power
+    iterations, each ONE hash join + ONE combiner groupby with the
+    ranks staying a Dataset. Oracle = the same fixed iteration count as
+    chained CTEs; final ranks ROUND(·,6) on both sides."""
+    from raycdc.ops import hash_join, pagerank
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    edges = hash_join(li, orders, key="l_orderkey").map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.binary_join_element_wise(
+                    pa.array(["s"] * t.num_rows), pc.cast(t["l_suppkey"], pa.string()), ""),
+                "dst": pc.binary_join_element_wise(
+                    pa.array(["c"] * t.num_rows), pc.cast(t["o_custkey"], pa.string()), ""),
+            }
+        ).group_by(["src", "dst"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    # global distinct of the locally-deduped pair stream (one bounded
+    # bucket shuffle — never a group per pair)
+    from raycdc.ops import distinct_rows
+
+    edges = distinct_rows(edges, ["src", "dst"])
+    return pagerank(edges, iters=_PAGERANK_ITERS)
+
+
+def _pagerank_oracle_sql(iters: int = _PAGERANK_ITERS, d: float = 0.85) -> str:
+    """The engine's exact iteration unrolled as chained CTEs; mirrors
+    pagerank()'s float expression order: w = 1.0/deg (once), then
+    r_{k+1} = base + d*sum(w*r_k) with COALESCE for no-in-edge nodes."""
+    head = """
+        WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                                   'c' || CAST(o_custkey AS VARCHAR) AS dst
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        w AS (SELECT src, dst, 1.0 / CAST(count(*) OVER (PARTITION BY src)
+                                          AS DOUBLE) AS w
+              FROM e),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    body = ""
+    for k in range(iters):
+        body += f""",
+        r{k + 1} AS (
+          SELECT nodes.node,
+                 (1.0 - {d}) / (SELECT n FROM nn)
+                   + {d} * COALESCE(s.s, 0.0) AS r
+          FROM nodes LEFT JOIN (
+            SELECT w.dst AS node, sum(w.w * r{k}.r) AS s
+            FROM w JOIN r{k} ON r{k}.node = w.src
+            GROUP BY w.dst) s ON s.node = nodes.node)"""
+    return (head + body
+            + f"\n        SELECT node, ROUND(r, 6) AS rank FROM r{iters}")
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3150,6 +3221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_shared_scan": q_lineitem_shared_scan,
         "corr_customer_orders": q_corr_customer_orders,
         "bm25_search": q_bm25_search,
+        "supplier_pagerank": q_supplier_pagerank,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -3939,6 +4011,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN c ON c.user_id = w.user_id
             GROUP BY 1, 2
         """,
+        "supplier_pagerank": _pagerank_oracle_sql(),
         "bm25_search": """
             WITH w AS (SELECT doc_id,
                               regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws

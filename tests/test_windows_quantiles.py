@@ -1831,3 +1831,23 @@ def test_corr_join_sketch_tracks_exact_join_correlation():
         key="id", xcol="x", ycol="y", k=2048,
     )
     assert est == est2
+
+
+def test_pagerank_modes_agree_and_sum_to_expected_mass():
+    from raycdc.ops import pagerank
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    t = pa.table({"src": [f"n{i}" for i in src], "dst": [f"n{i}" for i in dst]})
+    kw = dict(iters=5, ndigits=6)
+    a = (pagerank(rd.from_arrow(t), mode="broadcast", **kw)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (pagerank(rd.from_arrow(t).repartition(4), mode="join", **kw)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert (a["node"] == b["node"]).all()
+    assert (a["rank"].to_numpy() == b["rank"].to_numpy()).all()  # round-6 equal
+    # simplified model: total mass stays ≤ 1 and every rank ≥ (1-d)/N
+    n = len(a)
+    assert a["rank"].sum() <= 1.0 + n * 5e-7  # round-6 per-rank slack
+    assert (a["rank"] >= (1 - 0.85) / n - 1e-9).all()
