@@ -3094,6 +3094,33 @@ def _pagerank_oracle_sql(iters: int = _PAGERANK_ITERS, d: float = 0.85) -> str:
             + f"\n        SELECT node, ROUND(r, 6) AS rank FROM r{iters}")
 
 
+def q_dup_triangles(sf_dir: str):
+    """TRIANGLE COUNT on the near-duplicate graph (graph analytics #2):
+    edges are the exact n-gram Jaccard pairs ≥ 0.4 with id_a < id_b, so
+    a wedge join (e1.b = e2.a ⇒ a < b < c) plus one composite-key SEMI
+    join against the closing edge counts each triangle exactly once —
+    two bounded hash-join shuffles, no driver materialization. The
+    density diagnostic for dup clusters (a clique of k dups has C(k,3)
+    triangles)."""
+    from raycdc.extras.dedup import exact_jaccard_pairs
+    from raycdc.ops import hash_join
+
+    pairs = exact_jaccard_pairs(_docs(sf_dir), threshold=0.4, n=3).map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    ).materialize()  # three consumers below
+    e1 = pairs.map_batches(
+        lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow")
+    e2 = pairs.map_batches(
+        lambda t: t.rename_columns(["b", "c"]), batch_format="pyarrow")
+    wedges = hash_join(e1, e2, key="b").map_batches(
+        lambda t: t.select(["a", "c"]), batch_format="pyarrow")
+    closing = pairs.map_batches(
+        lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow")
+    tri = hash_join(wedges, closing, key=["a", "c"], how="semi")
+    n = tri.count()
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3222,6 +3249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_customer_orders": q_corr_customer_orders,
         "bm25_search": q_bm25_search,
         "supplier_pagerank": q_supplier_pagerank,
+        "dup_triangles": q_dup_triangles,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -4336,6 +4364,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": f"""
             WITH RECURSIVE {_NGRAM_PAIR_CTES}
             SELECT node AS doc_id, lbl AS cluster_id FROM members
+        """,
+        "dup_triangles": f"""
+            WITH RECURSIVE {_NGRAM_PAIR_CTES}
+            SELECT count(*) AS n_triangles
+            FROM pr e1
+            JOIN pr e2 ON e2.id_a = e1.id_b
+            JOIN pr e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
         """,
         "dedup_cluster_survivors": f"""
             WITH RECURSIVE {_NGRAM_PAIR_CTES}
