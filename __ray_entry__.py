@@ -3121,6 +3121,36 @@ def q_dup_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_events_zorder_layout(sf_dir: str):
+    """Z-ORDER clustering of the events table on (user_id, value cents)
+    — the multi-dimensional lake layout (Delta OPTIMIZE ZORDER analog):
+    global min-max quantize → morton interleave → one range-partitioned
+    sort → partitioned parquet, read back. Physical layout → rows-only;
+    the row-group pruning gate (z-layout prunes BOTH columns, a
+    single-column sort can't) is pytest-verified."""
+    import shutil
+    import uuid
+
+    from raycdc.ops import write_zordered
+
+    out = f"/tmp/raycdc_work/zorder_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = _ev(sf_dir).map_batches(
+            lambda t: pa.table(
+                {
+                    "event_id": t["event_id"],
+                    "user_id": t["user_id"],
+                    "cents": pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        back = write_zordered(ev, ["user_id", "cents"], out)
+        return back.materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3250,6 +3280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": q_bm25_search,
         "supplier_pagerank": q_supplier_pagerank,
         "dup_triangles": q_dup_triangles,
+        "events_zorder_layout": q_events_zorder_layout,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,

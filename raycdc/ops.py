@@ -3754,3 +3754,74 @@ def distinct_rows(
         .groupby("_bucket")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def zorder_key(
+    t: pa.Table, cols: list[str], bits: int = 16, out_col: str = "_z"
+) -> pa.Table:
+    """Morton (Z-order) interleave key over up to 4 integer columns —
+    the multi-dimensional clustering key (Delta Lake's OPTIMIZE ZORDER).
+    Inputs must already be quantized to [0, 2**bits)
+    (:func:`write_zordered` does the global min-max quantization);
+    this is just the fully-vectorized bit interleave (numpy
+    shifts/masks)."""
+    n = t.num_rows
+    vals = [np.asarray(t.column(c).cast(pa.int64())).astype(np.uint64) for c in cols]
+    k = len(vals)
+    if not 1 <= k <= 4:
+        raise ValueError("zorder_key supports 1-4 columns")
+    z = np.zeros(n, dtype=np.uint64)
+    for b in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * k + j)
+    return t.append_column(out_col, pa.array(z.view(np.int64)))
+
+
+def write_zordered(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    out_dir: str,
+    bits: int = 16,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Cluster a dataset on a Z-ORDER key over ``cols`` and write
+    partitioned parquet: global min/max per column (one tiny aggregate)
+    → per-batch quantization to 2**bits levels → morton interleave →
+    ONE range-partitioned sort on the key → write. Row-group statistics
+    then prune selective filters on ANY of the participating columns
+    (a single-column sort only prunes its own column) — the multi-
+    dimensional layout for the lake's read path. Returns the read-back
+    Dataset."""
+    stats = {}
+    for c in cols:
+        agg = ds.map_batches(
+            lambda t, c=c: pa.table({
+                "_mn": pa.array([pc.min(t[c]).as_py()]),
+                "_mx": pa.array([pc.max(t[c]).as_py()]),
+            }),
+            batch_format="pyarrow", batch_size=batch_size,
+        )
+        rows = agg.take_all()
+        mn = min(r["_mn"] for r in rows if r["_mn"] is not None)
+        mx = max(r["_mx"] for r in rows if r["_mx"] is not None)
+        stats[c] = (float(mn), float(mx))
+    levels = (1 << bits) - 1
+
+    def quantize(t: pa.Table) -> pa.Table:
+        qcols = {c: t.column(c) for c in t.column_names}
+        for i, c in enumerate(cols):
+            mn, mx = stats[c]
+            span = (mx - mn) or 1.0
+            x = np.asarray(t.column(c).cast(pa.float64()))
+            q = np.clip(((x - mn) / span * levels), 0, levels).astype(np.int64)
+            qcols[f"_q{i}"] = pa.array(q)
+        t2 = pa.table(qcols)
+        return zorder_key(t2, [f"_q{i}" for i in range(len(cols))], bits=bits)
+
+    z = ds.map_batches(quantize, batch_format="pyarrow", batch_size=batch_size)
+    z = z.sort("_z").map_batches(
+        lambda t: t.drop_columns([f"_q{i}" for i in range(len(cols))] + ["_z"]),
+        batch_format="pyarrow",
+    )
+    z.write_parquet(out_dir)
+    return ray.data.read_parquet(out_dir)

@@ -1851,3 +1851,52 @@ def test_pagerank_modes_agree_and_sum_to_expected_mass():
     n = len(a)
     assert a["rank"].sum() <= 1.0 + n * 5e-7  # round-6 per-rank slack
     assert (a["rank"] >= (1 - 0.85) / n - 1e-9).all()
+
+
+def test_zorder_write_prunes_on_both_columns(tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from raycdc.ops import write_zordered
+
+    rng = np.random.default_rng(7)
+    n = 40000
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(rng.integers(0, 10000, n).astype(np.int64)),
+        "y": pa.array(rng.integers(0, 10000, n).astype(np.int64)),
+    })
+
+    def overlap_frac(path_glob, col, lo, hi):
+        touched = total = 0
+        for f in glob.glob(path_glob):
+            md = pq.ParquetFile(f).metadata
+            ci = [md.schema.to_arrow_schema().get_field_index(col)][0]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                total += 1
+                if st is None or (st.min <= hi and st.max >= lo):
+                    touched += 1
+        return touched / max(total, 1)
+
+    import ray.data as rdd
+    zdir = str(tmp_path / "z")
+    sdir = str(tmp_path / "s")
+    write_zordered(rdd.from_arrow(t).repartition(8), ["x", "y"], zdir)
+    # baseline layout: single-column sort on x only
+    rdd.from_arrow(t).sort("x").write_parquet(sdir)
+
+    # a 5% range filter on Y: the x-sorted layout cannot prune it,
+    # the z-ordered layout must touch strictly fewer row groups
+    zy = overlap_frac(zdir + "/*.parquet", "y", 0, 500)
+    sy = overlap_frac(sdir + "/*.parquet", "y", 0, 500)
+    assert zy < sy, (zy, sy)
+    # and the z layout still prunes on X too (better than no layout)
+    zx = overlap_frac(zdir + "/*.parquet", "x", 0, 500)
+    assert zx < 1.0
+    # content preserved: same rows, just re-clustered
+    back = pq.read_table(zdir).sort_by("id")
+    assert back.num_rows == n
+    assert back["id"].combine_chunks().equals(t["id"].combine_chunks())
+    assert back["x"].combine_chunks().equals(t["x"].combine_chunks())
