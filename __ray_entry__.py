@@ -3151,6 +3151,47 @@ def q_events_zorder_layout(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_ab_welch_t(sf_dir: str):
+    """A/B statistics: Welch's t between the 'click' and 'purchase'
+    event-value distributions — one combiner moment pass, the t
+    statistic assembled in a fixed expression order from exact-integer
+    cent sums (bit-equal to the mirrored SQL):
+
+        t = (m1 - m2) / sqrt(v1/n1 + v2/n2)   (v = sample variance)
+    """
+    from raycdc.ops import moment_agg
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+            }
+        ).filter(pc.is_in(t["event_type"],
+                          value_set=pa.array(["click", "purchase"]))),
+        batch_format="pyarrow",
+    )
+    m = moment_agg(ev, "event_type", {
+        "mean_c": ("cents", "mean"),
+        "var_c": ("cents", "var_samp"),
+    })
+
+    rows = {r["event_type"]: r for r in m.take_all()}
+    from raycdc.ops import partial_groupby_agg
+
+    counts = {
+        r["event_type"]: r["n"]
+        for r in partial_groupby_agg(ev, "event_type",
+                                     {"n": ("cents", "count")}).take_all()
+    }
+    a, b = rows["click"], rows["purchase"]
+    n1, n2 = float(counts["click"]), float(counts["purchase"])
+    tval = (a["mean_c"] - b["mean_c"]) / float(
+        np.sqrt(a["var_c"] / n1 + b["var_c"] / n2)
+    )
+    return pa.table({"t_stat": pa.array([tval], pa.float64())})
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3281,6 +3322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_pagerank": q_supplier_pagerank,
         "dup_triangles": q_dup_triangles,
         "events_zorder_layout": q_events_zorder_layout,
+        "ab_welch_t": q_ab_welch_t,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -4071,6 +4113,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "supplier_pagerank": _pagerank_oracle_sql(),
+        "ab_welch_t": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS x
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+            p AS (SELECT event_type,
+                         CAST(count(x) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS s,
+                         CAST(sum(x*x) AS DOUBLE) AS q
+                  FROM c GROUP BY event_type),
+            m AS (SELECT event_type, n, s / n AS mean,
+                         (q - s * (s / n)) / (n - 1) AS v
+                  FROM p)
+            SELECT (a.mean - b.mean) / sqrt(a.v / a.n + b.v / b.n) AS t_stat
+            FROM m a, m b
+            WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
         "bm25_search": """
             WITH w AS (SELECT doc_id,
                               regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
