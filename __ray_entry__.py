@@ -3192,6 +3192,22 @@ def q_ab_welch_t(sf_dir: str):
     return pa.table({"t_stat": pa.array([tval], pa.float64())})
 
 
+def q_audience_overlap_approx(sf_dir: str):
+    """Approximate audience overlap via mergeable HLL sketches —
+    inclusion-exclusion on register-max unions, one 4 KiB block per
+    type per batch shuffled instead of membership pairs (the 100-TB
+    path beside the exact `audience_overlap`). Approximate →
+    rows-only; accuracy pytest-gated."""
+    from raycdc.ops import hll_overlap
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_type", "user_id"]).filter(
+            pc.is_valid(t["event_type"])),
+        batch_format="pyarrow",
+    )
+    return hll_overlap(ev, "event_type", "user_id", p=12)
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3323,6 +3339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_triangles": q_dup_triangles,
         "events_zorder_layout": q_events_zorder_layout,
         "ab_welch_t": q_ab_welch_t,
+        "audience_overlap_approx": q_audience_overlap_approx,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,

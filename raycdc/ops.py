@@ -1120,46 +1120,112 @@ def grouped_nunique_approx(
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
     m = 1 << p
-    from raycdc.util import str_hash_u64
 
     def sketch(t: pa.Table) -> pa.Table:
-        t = t.select([key, col])
-        t = t.filter(pc.is_valid(t.column(col)))
-        kcol = t.column(key)
-        codes, uniques = kcol.to_pandas().factorize(use_na_sentinel=False)
-        h = str_hash_u64(t.column(col).cast(pa.string()))
-        reg = (h >> np.uint64(64 - p)).astype(np.int64)
-        w = h << np.uint64(p)  # remaining 64-p bits, left-aligned
-        # rho = leading-zero count of w within 64-p bits, +1 (w==0 → max)
-        bitlen = np.zeros(len(w), dtype=np.int64)
-        nz = w != 0
-        # float64 mantissa rounding can overstate bitlength by 1 for
-        # ~2^-53 of values — harmless for a sketch, still deterministic
-        bitlen[nz] = np.frexp(w[nz].astype(np.float64))[1]
-        rho = (np.int64(64 + 1) - bitlen).astype(np.uint8)
-        regs = np.zeros((len(uniques), m), dtype=np.uint8)
-        np.maximum.at(regs, (codes, reg), rho)
-        karr = pa.Array.from_pandas(pd.Series(uniques)).cast(kcol.type)
-        raw = regs.tobytes(order="C")
-        hll = pa.array([raw[i * m:(i + 1) * m] for i in range(len(uniques))], type=pa.binary(m))
-        return pa.table({key: karr, "_hll": hll})
+        return _hll_sketch_batch(t, key, col, p)
 
     def merge(g: pa.Table) -> pa.Table:
         buf = np.frombuffer(b"".join(g.column("_hll").to_pylist()), dtype=np.uint8)
-        regs = buf.reshape(-1, m).max(axis=0).astype(np.float64)
-        alpha = 0.7213 / (1 + 1.079 / m)  # m >= 128
-        est = alpha * m * m / np.sum(np.exp2(-regs))
-        zeros = int((regs == 0).sum())
-        if est <= 2.5 * m and zeros:  # small-range: linear counting
-            est = m * np.log(m / zeros)
-        elif est > (1 << 64) / 30.0:  # large-range correction
-            est = -(2.0**64) * np.log1p(-est / 2.0**64)
+        regs = buf.reshape(-1, m).max(axis=0)
+        est = _hll_estimate(regs, m)
         return pa.table(
             {key: g.column(key).slice(0, 1), out_col: pa.array([int(round(est))], pa.int64())}
         )
 
     partials = ds.map_batches(sketch, batch_format="pyarrow", batch_size=batch_size)
     return partials.groupby(key).map_groups(merge, batch_format="pyarrow")
+
+
+def _hll_sketch_batch(t: pa.Table, key: str, col: str, p: int) -> pa.Table:
+    """Per-batch HLL register build: one row per key present with its
+    ``2**p``-byte register block (fixed-size binary) — the mergeable
+    partial both the count-distinct and the set-overlap estimators
+    share."""
+    from raycdc.util import str_hash_u64
+
+    m = 1 << p
+    t = t.select([key, col])
+    t = t.filter(pc.is_valid(t.column(col)))
+    kcol = t.column(key)
+    codes, uniques = kcol.to_pandas().factorize(use_na_sentinel=False)
+    h = str_hash_u64(t.column(col).cast(pa.string()))
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # rho = leading-zero count of w within 64-p bits, +1 (w==0 → max)
+    bitlen = np.zeros(len(w), dtype=np.int64)
+    nz = w != 0
+    # float64 mantissa rounding can overstate bitlength by 1 for
+    # ~2^-53 of values — harmless for a sketch, still deterministic
+    bitlen[nz] = np.frexp(w[nz].astype(np.float64))[1]
+    rho = (np.int64(64 + 1) - bitlen).astype(np.uint8)
+    regs = np.zeros((len(uniques), m), dtype=np.uint8)
+    np.maximum.at(regs, (codes, reg), rho)
+    karr = pa.Array.from_pandas(pd.Series(uniques)).cast(kcol.type)
+    raw = regs.tobytes(order="C")
+    hll = pa.array([raw[i * m:(i + 1) * m] for i in range(len(uniques))], type=pa.binary(m))
+    return pa.table({key: karr, "_hll": hll})
+
+
+def _hll_estimate(regs: np.ndarray, m: int) -> float:
+    """Raw HLL estimator + the standard small/large-range corrections."""
+    regs = regs.astype(np.float64)
+    alpha = 0.7213 / (1 + 1.079 / m)  # m >= 128
+    est = alpha * m * m / np.sum(np.exp2(-regs))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:  # small-range: linear counting
+        est = m * np.log(m / zeros)
+    elif est > (1 << 64) / 30.0:  # large-range correction
+        est = -(2.0**64) * np.log1p(-est / 2.0**64)
+    return float(est)
+
+
+def hll_overlap(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    p: int = 12,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """APPROXIMATE pairwise set overlap between every pair of keys:
+    |A∩B| by inclusion-exclusion over mergeable HLL sketches
+    (est(A) + est(B) − est(A∪B), where the union sketch is the
+    register-wise max — exactly mergeable, so only one ``2**p``-byte
+    block per key per batch ever shuffles, never membership pairs).
+    The scale path beside the exact :func:`__ray_entry__` audience
+    overlap; error grows with disparity, pytest-gated. Returns a small
+    (key-pairs × estimates) Arrow table on the driver — key cardinality
+    is assumed small (segment/type-like)."""
+    m = 1 << p
+    parts = ds.map_batches(
+        lambda t: _hll_sketch_batch(t, key, col, p),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
+    merged: dict = {}
+    for t in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for kk, blob in zip(t.column(key).to_pylist(), t.column("_hll").to_pylist()):
+            r = np.frombuffer(blob, dtype=np.uint8)
+            if kk in merged:
+                merged[kk] = np.maximum(merged[kk], r)
+            else:
+                merged[kk] = r.copy()
+    keys = sorted(merged)
+    rows = {"key_a": [], "key_b": [], "inter_approx": [], "jaccard_approx": []}
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            ea = _hll_estimate(merged[a], m)
+            eb = _hll_estimate(merged[b], m)
+            eu = _hll_estimate(np.maximum(merged[a], merged[b]), m)
+            inter = max(0.0, ea + eb - eu)
+            rows["key_a"].append(a)
+            rows["key_b"].append(b)
+            rows["inter_approx"].append(int(round(inter)))
+            rows["jaccard_approx"].append(round(inter / eu if eu else 0.0, 6))
+    return pa.table({
+        "key_a": pa.array(rows["key_a"]),
+        "key_b": pa.array(rows["key_b"]),
+        "inter_approx": pa.array(rows["inter_approx"], pa.int64()),
+        "jaccard_approx": pa.array(rows["jaccard_approx"], pa.float64()),
+    })
 
 
 def pivot_agg(

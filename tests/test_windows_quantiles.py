@@ -1900,3 +1900,28 @@ def test_zorder_write_prunes_on_both_columns(tmp_path):
     assert back.num_rows == n
     assert back["id"].combine_chunks().equals(t["id"].combine_chunks())
     assert back["x"].combine_chunks().equals(t["x"].combine_chunks())
+
+
+def test_hll_overlap_tracks_exact_jaccard():
+    from raycdc.ops import hll_overlap
+
+    rng = np.random.default_rng(44)
+    # two segments with a controlled 30% overlap + one disjoint segment
+    base = [f"u{i:06d}" for i in range(6000)]
+    seg_a = base[:4000]
+    seg_b = base[2800:6000]          # |A∩B| = 1200, |A∪B| = 6000
+    seg_c = [f"v{i}" for i in range(1500)]
+    t = pa.table({
+        "seg": ["a"] * len(seg_a) + ["b"] * len(seg_b) + ["c"] * len(seg_c),
+        "user": seg_a + seg_b + seg_c,
+    })
+    out = hll_overlap(rd.from_arrow(t).repartition(4), "seg", "user", p=12)
+    d = {(out["key_a"][i].as_py(), out["key_b"][i].as_py()):
+         (out["inter_approx"][i].as_py(), out["jaccard_approx"][i].as_py())
+         for i in range(out.num_rows)}
+    inter_ab, jac_ab = d[("a", "b")]
+    assert abs(inter_ab - 1200) / 1200 < 0.15          # ~2-5% typical at p=12
+    assert abs(jac_ab - 1200 / 6000) < 0.05
+    # disjoint pairs estimate near zero relative to set sizes
+    assert d[("a", "c")][0] < 0.1 * 4000
+    assert d[("b", "c")][0] < 0.1 * 3200
