@@ -102,11 +102,12 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     _fsync_dir(path)
 
 
-def _atomic_write_parquet(path: str, table: pa.Table) -> None:
+def _atomic_write_parquet(path: str, table: pa.Table,
+                          row_group_size: int | None = None) -> None:
     """Durable tmp+fsync+rename: the manifest swap is only a valid commit
     point if the epoch files it references are already on stable storage."""
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, row_group_size=row_group_size)
     fd = os.open(tmp, os.O_RDONLY)
     try:
         os.fsync(fd)
@@ -821,15 +822,22 @@ class LakeTable:
                 os.rmdir(d)
         return removed
 
-    def compact(self, drop_tombs: bool = False) -> int:
+    def compact(self, drop_tombs: bool = False,
+                zorder: list[str] | None = None) -> int:
         """Full compaction (Ray-parallel): every partition's base +
         deltas + pending L0 runs fold into a fresh base file; optionally
         drop tombstones (safe once upstream segments can no longer be
-        replayed). Writes a new epoch. Returns tombstones dropped."""
+        replayed). ``zorder`` clusters each fresh base on a Morton key
+        over the named numeric columns (per-partition min-max quantize)
+        so row-group statistics prune selective reads on ANY of them —
+        the Delta OPTIMIZE ZORDER move at compaction time; key order is
+        restored per read by the fold's LWW sort, so query results are
+        unchanged. Writes a new epoch. Returns tombstones dropped."""
         with _WriterLock(self.path, lease_s=self.lock_lease_s):
-            return self._compact_locked(self.manifest(), drop_tombs)
+            return self._compact_locked(self.manifest(), drop_tombs, zorder)
 
-    def _compact_locked(self, m: dict, drop_tombs: bool = False) -> int:
+    def _compact_locked(self, m: dict, drop_tombs: bool = False,
+                        zorder: list[str] | None = None) -> int:
         epoch = m["epoch"] + 1
         epoch_rel = f"state/e{epoch:06d}"
         os.makedirs(os.path.join(self.path, epoch_rel), exist_ok=True)
@@ -845,13 +853,32 @@ class LakeTable:
             for i in range(batch.num_rows):
                 one = batch.slice(i, 1)
                 t = fold(one).sort_by(key)
+                if zorder and t.num_rows:
+                    from raycdc.ops import zorder_key
+
+                    qcols = dict(zip(t.column_names, t.columns))
+                    for zi, zc in enumerate(zorder):
+                        x = np.asarray(t.column(zc).cast(pa.float64()))
+                        mn, mx = float(np.nanmin(x)), float(np.nanmax(x))
+                        span = (mx - mn) or 1.0
+                        q = np.clip((x - mn) / span * 65535, 0, 65535)
+                        qcols[f"_zq{zi}"] = pa.array(
+                            np.nan_to_num(q).astype(np.int64))
+                    t2 = zorder_key(pa.table(qcols),
+                                    [f"_zq{zi}" for zi in range(len(zorder))])
+                    order = pc.sort_indices(t2, sort_keys=[("_z", "ascending")])
+                    t = t.take(order)
                 live_t = drop_tombstones(t, op_col)
                 dropped = t.num_rows - live_t.num_rows
                 if drop_tombs:
                     t = live_t
                 pid = int(one["pid"][0].as_py())
                 rel = f"{epoch_rel}/part-{pid:05d}.parquet"
-                _atomic_write_parquet(os.path.join(lake_path, rel), t)
+                # z-ordered bases need bounded row groups for the stats
+                # to prune anything (default = one giant group)
+                rgs = max(2048, t.num_rows // 16) if zorder else None
+                _atomic_write_parquet(os.path.join(lake_path, rel), t,
+                                      row_group_size=rgs)
                 wm = pc.max(t[lsn_col]).as_py() if t.num_rows and lsn_col in t.column_names else None
                 rows.append(
                     {

@@ -605,3 +605,48 @@ def test_time_travel_read_epochs(lake, tmp_path):
         ) if n_applied else all_events.slice(0, 0),
     )
     assert_eq(again, expected)
+
+
+def test_compact_zorder_clusters_rowgroups_and_preserves_state(tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raycdc.lake import LakeTable
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    ev = pa.table({
+        "lsn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        "op": pa.array(["insert"] * n),
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "a": pa.array(rng.integers(0, 10000, n).astype(np.int64)),
+        "b": pa.array(rng.integers(0, 10000, n).astype(np.int64)),
+    })
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=2, key="doc_id")
+    lake.init()
+    lake.apply(rd.from_arrow(ev), ["s0"])
+    lake.compact(zorder=["a", "b"])
+    # state unchanged by the re-clustering
+    t = pa.concat_tables(
+        list(lake.read().iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="permissive",
+    ).sort_by("doc_id")
+    assert t.num_rows == n
+    assert t["a"].combine_chunks().equals(ev["a"].combine_chunks())
+    # clustered base: row-group stats on BOTH columns are selective
+    m = lake.manifest()
+    frac = []
+    for ent in m["partitions"].values():
+        f = os.path.join(lake.path, ent["base"])
+        md = pq.ParquetFile(f).metadata
+        for col in ("a", "b"):
+            ci = md.schema.to_arrow_schema().get_field_index(col)
+            touched = 0
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or (st.min <= 500 and st.max >= 0):
+                    touched += 1
+            frac.append(touched / md.num_row_groups)
+    # without clustering every row group of a random column overlaps a
+    # 5% range; z-ordered bases must skip some on BOTH columns
+    assert any(f < 1.0 for f in frac), frac
