@@ -164,7 +164,8 @@ def run_bench() -> dict:
     secondary = () if os.environ.get("RAYCDC_BENCH_SKIP_QUERIES") else (
         "cdc_lww_latest", "cdc_first_writer", "cdc_date_shift", "q1_lineitem",
         "dedup_exact", "text_token_count", "knn_brute", "sessionize_events",
-        "orders_rank_per_customer", "lineitem_stats")
+        "orders_rank_per_customer", "lineitem_stats",
+        "docs_edit_distance", "lineitem_shared_scan")
     # same discipline as the headline: one untimed warm-up (faults worker
     # heaps / page cache), then min-of-N — the round-2 single-pass timing
     # made host page-population phases look like 2-3x engine regressions
