@@ -3208,6 +3208,81 @@ def q_audience_overlap_approx(sf_dir: str):
     return hll_overlap(ev, "event_type", "user_id", p=12)
 
 
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape — the EXISTS/semi-join aggregate: count orders per
+    priority (one quarter) having at least one line that shipped after
+    its order date. Lineitem reduces to a DISTINCT orderkey stream
+    before the ONE semi-join shuffle; the count is a combiner."""
+    from raycdc.ops import distinct_rows, hash_join, partial_groupby_agg
+
+    lo = datetime.datetime(1996, 7, 1)
+    hi = datetime.datetime(1996, 10, 1)
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        ),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    joined = hash_join(
+        orders, li.map_batches(
+            lambda t: t.rename_columns(["o_orderkey", "l_shipdate"]),
+            batch_format="pyarrow"),
+        key="o_orderkey",
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], t["o_orderdate"])),
+        batch_format="pyarrow",
+    )
+    late = distinct_rows(
+        joined.map_batches(
+            lambda t: t.select(["o_orderkey", "o_orderpriority"]),
+            batch_format="pyarrow"),
+        ["o_orderkey", "o_orderpriority"],
+    )
+    return partial_groupby_agg(
+        late, "o_orderpriority", {"order_count": ("o_orderkey", "count")}
+    )
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape — the double aggregate (distribution of counts):
+    orders per customer including zero-order customers (LEFT join),
+    then how many customers share each count. Both levels are
+    combiners; the left join is the one bounded shuffle."""
+    from raycdc.ops import hash_join, partial_groupby_agg
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).map_batches(lambda t: t.rename_columns(["o_custkey"]),
+                  batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey"],
+    )
+    j = hash_join(cust, orders, key="o_custkey", how="left")
+    per_cust = partial_groupby_agg(
+        j.map_batches(
+            lambda t: pa.table({
+                "o_custkey": t["o_custkey"],
+                # count only matched orders: null o_orderkey = no order
+                "_has": pc.is_valid(t["o_orderkey"]).cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ),
+        "o_custkey", {"c_count": ("_has", "sum")},
+    )
+    return partial_groupby_agg(
+        per_cust, "c_count", {"custdist": ("c_count", "count")}
+    )
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3340,6 +3415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder_layout": q_events_zorder_layout,
         "ab_welch_t": q_ab_welch_t,
         "audience_overlap_approx": q_audience_overlap_approx,
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -4130,6 +4207,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "supplier_pagerank": _pagerank_oracle_sql(),
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
         "ab_welch_t": """
             WITH c AS (SELECT event_type,
                               CAST(round(value * 100) AS BIGINT) AS x
