@@ -3283,6 +3283,49 @@ def q13_customer_distribution(sf_dir: str):
     )
 
 
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape — the HAVING-subquery join: orders whose total
+    line quantity exceeds 300, joined back to orders and customers.
+    The quantity sum is a combiner (exact cents//100 whole units), the
+    qualifying-order set is TINY and flows through two bounded hash
+    joins — never the other way around."""
+    from raycdc.ops import hash_join, partial_groupby_agg
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "qty": pc.divide(
+                    pc.round(pc.multiply(t["l_quantity"], 100.0)).cast(pa.int64()),
+                    pa.scalar(100, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    big = partial_groupby_agg(li, "o_orderkey", {"sum_qty": ("qty", "sum")}).map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty"], pa.scalar(300, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    j = hash_join(big, orders, key="o_orderkey")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).map_batches(lambda t: t.rename_columns(["o_custkey", "c_name"]),
+                  batch_format="pyarrow")
+    return hash_join(j, cust, key="o_custkey").map_batches(
+        lambda t: t.select(["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                            "o_totalprice", "sum_qty"]),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3417,6 +3460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap_approx": q_audience_overlap_approx,
         "q4_order_priority": q4_order_priority,
         "q13_customer_distribution": q13_customer_distribution,
+        "q18_large_volume_customers": q18_large_volume_customers,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -4216,6 +4260,19 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_shipdate > o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        "q18_large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey AS o_orderkey,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT) // 100)
+                       AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum_qty > 300)
+            SELECT c_name, o_custkey, o.o_orderkey, o_orderdate, o_totalprice,
+                   sum_qty
+            FROM big
+            JOIN orders o   ON o.o_orderkey = big.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
         """,
         "q13_customer_distribution": """
             SELECT c_count, count(*) AS custdist
