@@ -3326,6 +3326,31 @@ def q18_large_volume_customers(sf_dir: str):
     )
 
 
+def q_trending_types(sf_dir: str):
+    """TRENDING items: the top-2 event types per clock hour by count —
+    tumbling-window aggregate chained into the grouped top-k (rank desc,
+    type asc tiebreak). The per-window leaderboard every
+    feed/monitoring pipeline runs; two combiners + one bounded bucket
+    shuffle."""
+    from raycdc.ops import top_k, tumbling_window_agg
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "ts", "event_type"]).filter(
+            pc.is_valid(t["event_type"])),
+        batch_format="pyarrow",
+    )
+    counts = tumbling_window_agg(
+        ev, "ts", every_s=3600, keys=["event_type"],
+        specs={"n": ("event_id", "count")},
+    )
+    out = top_k(counts, "n", 2, descending=True, tiebreak="event_type",
+                per="window_start")
+    return out.map_batches(
+        lambda t: t.select(["window_start", "event_type", "n"]),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3461,6 +3486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": q4_order_priority,
         "q13_customer_distribution": q13_customer_distribution,
         "q18_large_volume_customers": q18_large_volume_customers,
+        "trending_types": q_trending_types,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -4260,6 +4286,18 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_shipdate > o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        "trending_types": """
+            WITH w AS (
+              SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                       AS window_start,
+                     event_type, count(*) AS n
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY 1, 2)
+            SELECT window_start, event_type, n
+            FROM w
+            QUALIFY row_number() OVER (PARTITION BY window_start
+                                       ORDER BY n DESC, event_type ASC) <= 2
         """,
         "q18_large_volume_customers": """
             WITH big AS (
