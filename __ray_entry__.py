@@ -3351,6 +3351,54 @@ def q_trending_types(sf_dir: str):
     )
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Per-label embedding CENTROIDS (positional mean — the class-
+    prototype / cluster-seed vector aggregate): per batch one
+    ``np.add.at`` scatter over a (labels × dim) accumulator (no Python
+    per row), then the (label, pos) combiner; ROUND(·,6) both sides
+    absorbs float sum-order."""
+    from raycdc.ops import partial_groupby_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        emb = t["embedding"].combine_chunks()
+        vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = np.asarray(emb.offsets, dtype=np.int64)
+        lens = offs[1:] - offs[:-1]
+        dim = int(lens.max()) if len(lens) else 0
+        labels = np.asarray(t["label"], dtype=np.int64)
+        codes, uniq = pd.Series(labels).factorize()
+        acc = np.zeros((len(uniq), dim), dtype=np.float64)
+        cnt = np.zeros((len(uniq), dim), dtype=np.int64)
+        pos = np.concatenate([np.arange(n) for n in lens]) if len(lens) else np.zeros(0, np.int64)
+        row = np.repeat(codes, lens)
+        np.add.at(acc, (row, pos), vals)
+        np.add.at(cnt, (row, pos), 1)
+        lab = np.repeat(uniq, dim)
+        p = np.tile(np.arange(dim), len(uniq))
+        return pa.table({
+            "label": pa.array(lab, pa.int32()),
+            "pos": pa.array(p, pa.int64()),
+            "_s": pa.array(acc.ravel(), pa.float64()),
+            "_n": pa.array(cnt.ravel(), pa.int64()),
+        })
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
+    ).map_batches(partial, batch_format="pyarrow")
+    agg = partial_groupby_agg(ds, ["label", "pos"],
+                              {"_s": ("_s", "sum"), "_n": ("_n", "sum")})
+    return agg.map_batches(
+        lambda t: pa.table({
+            "label": t["label"],
+            "pos": t["pos"],
+            "centroid": pc.round(pc.divide(t["_s"], t["_n"].cast(pa.float64())), 6),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3487,6 +3535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": q13_customer_distribution,
         "q18_large_volume_customers": q18_large_volume_customers,
         "trending_types": q_trending_types,
+        "embedding_centroids": q_embedding_centroids,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -4286,6 +4335,15 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_shipdate > o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        "embedding_centroids": """
+            WITH u AS (
+              SELECT label, e.pos - 1 AS pos, CAST(e.val AS DOUBLE) AS val
+              FROM embeddings,
+                   LATERAL (SELECT unnest(embedding) AS val,
+                                   generate_subscripts(embedding, 1) AS pos) e)
+            SELECT label, pos, ROUND(avg(val), 6) AS centroid
+            FROM u GROUP BY label, pos
         """,
         "trending_types": """
             WITH w AS (
