@@ -3399,6 +3399,71 @@ def q_embedding_centroids(sf_dir: str):
     )
 
 
+def q_docs_split(sf_dir: str):
+    """Deterministic TRAIN/VAL/TEST assignment — the canonical
+    training-data split: content-addressed (md5 of doc_id) so it is
+    replay-stable, partitioning-independent, and leakage-free (a doc
+    can never change split across runs). First hex digit: 0-b train
+    (75%), c-d val (12.5%), e-f test (12.5%). Map-only."""
+    def split(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["doc_id"].to_pylist()
+        first = [hashlib.md5(str(x).encode()).hexdigest()[0] for x in ids]
+        lab = np.where(np.isin(first, list("0123456789ab")), "train",
+                       np.where(np.isin(first, ["c", "d"]), "val", "test"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "split": pa.array(lab, pa.string())})
+
+    return _docs(sf_dir).map_batches(split, batch_format="pyarrow")
+
+
+def q_events_impute_mean(sf_dir: str):
+    """Group-mean IMPUTATION (the third imputation family member beside
+    LOCF and winsorize): every 7th event's value is masked NULL, then
+    filled with its user's mean over the OBSERVED values — tiny
+    per-user mean broadcast back, map-only fill. Exact-integer cents
+    keep the mean bit-equal; output = cents (observed) or the float
+    mean (imputed), as DOUBLE."""
+    from raycdc.ops import broadcast_lookup, moment_agg
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "cents": pc.if_else(
+                    pc.equal(
+                        pc.subtract(
+                            t["event_id"],
+                            pc.multiply(pc.divide(t["event_id"],
+                                                  pa.scalar(7, pa.int64())),
+                                        pa.scalar(7, pa.int64())),
+                        ),
+                        pa.scalar(0, pa.int64()),
+                    ),
+                    pa.nulls(t.num_rows, pa.int64()),
+                    pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    means = moment_agg(ev, "user_id", {"m": ("cents", "mean")})
+    lut = {r["user_id"]: r["m"] for r in means.take_all()}
+    out = broadcast_lookup(ev, "user_id", lut, "_m")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "filled": pc.coalesce(t["cents"].cast(pa.float64()), t["_m"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3536,6 +3601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers": q18_large_volume_customers,
         "trending_types": q_trending_types,
         "embedding_centroids": q_embedding_centroids,
+        "docs_split": q_docs_split,
+        "events_impute_mean": q_events_impute_mean,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -4335,6 +4402,29 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_shipdate > o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        "docs_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('c', 'd') THEN 'val'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('e', 'f') THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents
+        """,
+        "events_impute_mean": """
+            WITH m AS (SELECT event_id, user_id,
+                              CASE WHEN event_id % 7 = 0 THEN NULL
+                                   ELSE CAST(round(value * 100) AS BIGINT)
+                              END AS cents
+                       FROM events),
+            u AS (SELECT user_id,
+                         CAST(sum(cents) AS DOUBLE)
+                           / CAST(count(cents) AS DOUBLE) AS mean
+                  FROM m GROUP BY user_id)
+            SELECT m.event_id, m.user_id,
+                   coalesce(CAST(m.cents AS DOUBLE), u.mean) AS filled
+            FROM m JOIN u ON u.user_id = m.user_id
         """,
         "embedding_centroids": """
             WITH u AS (
