@@ -3464,6 +3464,94 @@ def q_events_impute_mean(sf_dir: str):
     )
 
 
+def q_events_gini(sf_dir: str):
+    """Per-type GINI COEFFICIENT of (positive) event values — the
+    concentration/inequality aggregate: G = 2·Σ(rank·x) / (n·Σx)
+    − (n+1)/n over values ranked ascending (deterministic (cents,
+    event_id) order; permutations among ties leave Σrank·x unchanged).
+    One rank shuffle + a combiner; integer products keep every sum
+    float64-exact, the finalize expression is mirrored verbatim."""
+    from raycdc.ops import grouped_rank, partial_groupby_agg
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "cents": pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+            }
+        ).filter(pc.greater(
+            pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+            pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    ranked = grouped_rank(ev, "event_type", ["cents", "event_id"])
+    weighted = ranked.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": t["cents"],
+                "_rx": pc.multiply(t["rn"].cast(pa.int64()), t["cents"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = partial_groupby_agg(
+        weighted, "event_type",
+        {"sw": ("_rx", "sum"), "sx": ("cents", "sum"), "n": ("cents", "count")},
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "gini": pc.subtract(
+                    pc.divide(
+                        pc.multiply(pa.scalar(2.0, pa.float64()),
+                                    t["sw"].cast(pa.float64())),
+                        pc.multiply(t["n"].cast(pa.float64()),
+                                    t["sx"].cast(pa.float64())),
+                    ),
+                    pc.divide(
+                        pc.add(t["n"].cast(pa.float64()),
+                               pa.scalar(1.0, pa.float64())),
+                        t["n"].cast(pa.float64()),
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_user_autocorr(sf_dir: str):
+    """Per-user LAG-1 AUTOCORRELATION of event values in time order —
+    the time-series stationarity diagnostic, composed from grouped_lead
+    (one bucket shuffle) into the corr moment kernel (combiner); exact
+    integer cents keep it bit-equal to the mirrored SQL."""
+    from raycdc.ops import grouped_lead, moment_agg
+
+    ev = _ev(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    led = grouped_lead(ev, "user_id", order_cols=["ts", "event_id"],
+                       val_col="cents", out_col="next_c")
+    pairs = led.map_batches(
+        lambda t: t.filter(pc.is_valid(t["next_c"])).select(
+            ["user_id", "cents", "next_c"]),
+        batch_format="pyarrow",
+    )
+    return moment_agg(pairs, "user_id",
+                      {"autocorr1": ("cents", "next_c", "corr")})
+
+
 # ---------------------------------------------------------------- registry
 def entry() -> Any:
     """Flagship pipeline at sf0.001: the synthesized-token CDC replay."""
@@ -3603,6 +3691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_embedding_centroids,
         "docs_split": q_docs_split,
         "events_impute_mean": q_events_impute_mean,
+        "events_gini": q_events_gini,
+        "user_autocorr": q_user_autocorr,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
@@ -4402,6 +4492,44 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_shipdate > o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        "events_gini": """
+            WITH c AS (SELECT event_type, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events
+                       WHERE CAST(round(value * 100) AS BIGINT) > 0),
+            r AS (SELECT event_type, cents,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY cents, event_id) AS rn
+                  FROM c),
+            p AS (SELECT event_type,
+                         CAST(sum(rn * cents) AS DOUBLE) AS sw,
+                         CAST(sum(cents) AS DOUBLE) AS sx,
+                         CAST(count(*) AS DOUBLE) AS n
+                  FROM r GROUP BY event_type)
+            SELECT event_type,
+                   (2.0 * sw) / (n * sx) - (n + 1.0) / n AS gini
+            FROM p
+        """,
+        "user_autocorr": """
+            WITH led AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS x,
+                     lead(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS y
+              FROM events),
+            c AS (SELECT user_id, x, y FROM led WHERE y IS NOT NULL),
+            p AS (SELECT user_id, CAST(count(*) AS DOUBLE) n,
+                         CAST(sum(x) AS DOUBLE) sx, CAST(sum(y) AS DOUBLE) sy,
+                         CAST(sum(x*y) AS DOUBLE) sxy,
+                         CAST(sum(x*x) AS DOUBLE) sxx,
+                         CAST(sum(y*y) AS DOUBLE) syy
+                  FROM c GROUP BY user_id)
+            SELECT user_id,
+                   (sxy - sx*(sy/n))
+                     / sqrt((sxx - sx*(sx/n)) * (syy - sy*(sy/n)))
+                     AS autocorr1
+            FROM p
         """,
         "docs_split": """
             SELECT doc_id,
