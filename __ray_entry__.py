@@ -3559,59 +3559,98 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """All registered pipelines, keyed by name.
+
+    ORDERING IS MANAGED, not alphabetical/chronological: the driver's
+    correctness gate hashes only the FIRST 50 dict entries, so the window
+    is spent on (a) the flagship CDC replay pair, (b) every oracle changed
+    this round (must re-prove green), and (c) the newest/riskiest
+    oracle-backed operators that have never had driver-side evidence
+    (rank/rollup/moments/TPC-H/text-analytics/graph/lake families).
+    Long-stable round-1 entries (green in CORRECTNESS_r01–r03) and
+    rows-only entries sit after position 50; rotate the tail into the
+    window in later rounds.
+    """
     return {
-        "cdc_lww_latest": q_cdc_lww_latest,
-        "cdc_first_writer": q_cdc_first_writer,
-        "cdc_route_matrix": q_cdc_route_matrix,
-        "cdc_orphan_routing": q_cdc_orphan_routing,
-        "cdc_date_shift": q_cdc_date_shift,
-        "cdc_date_shift_shuffle": q_cdc_date_shift_shuffle,
+        # -- flagship (keep permanently in the window) --
         "cdc_replay_events": q_cdc_replay_events,
         "cdc_replay_tokens": q_cdc_replay_tokens,
-        "pseudo_identity": q_pseudo_identity,
-        "q1_lineitem": q_q1_lineitem,
-        "join_orders_nation": q_join_orders_nation,
-        "top_docs_by_chars": q_top_docs_by_chars,
-        "top_docs_per_lang": q_top_docs_per_lang,
-        "dedup_exact": q_dedup_exact,
-        "dedup_exact_rows": q_dedup_exact_rows,
-        "simhash_near_dup": q_simhash_near_dup,
-        "deterministic_sample": q_deterministic_sample,
-        "text_curation": q_text_curation,
-        "token_chunks": q_token_chunks,
-        "pack_sequences": q_pack_sequences,
-        "text_token_count": q_text_token_count,
-        "text_stats": q_text_stats,
-        "text_fingerprint": q_text_fingerprint,
-        "knn_brute": q_knn_brute,
-        "knn_multi": q_knn_multi,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf_full_probe": q_knn_ivf_full_probe,
-        "derive_path": q_derive_path,
-        "flatten_struct": q_flatten_struct,
-        "identity_substitute": q_identity_substitute,
-        "roundtrip_diffmerge": q_roundtrip_diffmerge,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "minhash_near_dup": q_minhash_near_dup,
-        "simhash_signatures": q_simhash_signatures,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_cluster_survivors": q_dedup_cluster_survivors,
-        "asof_join_orders": q_asof_join_orders,
+        # -- oracles fixed this round (HUGEINT cast): must re-prove --
         "events_hourly_window": q_events_hourly_window,
-        "stratified_sample": q_stratified_sample,
-        "range_join_windows": q_range_join_windows,
-        "sessionize_events": q_sessionize_events,
         "events_hopping_window": q_events_hopping_window,
-        "grouped_quantile": q_grouped_quantile,
-        "events_distinct_users": q_events_distinct_users,
-        "events_distinct_users_approx": q_events_distinct_users_approx,
         "events_type_pivot": q_events_type_pivot,
-        "events_type_quantile_hist": q_events_type_quantile_hist,
-        "user_event_sequence": q_user_event_sequence,
-        "docs_length_tiles": q_docs_length_tiles,
+        "cdc_mv_source_counts": q_cdc_mv_source_counts,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "lineitem_shared_scan": q_lineitem_shared_scan,
+        # -- never driver-checked before round 4: lake / graph / search --
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
+        "docs_edit_distance": q_docs_edit_distance,
+        "bm25_search": q_bm25_search,
+        "word_heavy_hitters": q_word_heavy_hitters,
+        "supplier_pagerank": q_supplier_pagerank,
+        "dup_triangles": q_dup_triangles,
+        # -- rank / rollup / reshape family --
+        "orders_rank_per_customer": q_orders_rank_per_customer,
+        "orders_rollup": q_orders_rollup,
+        "lineitem_cube": q_lineitem_cube,
+        "lineitem_unpivot": q_lineitem_unpivot,
+        # -- moment / robust statistics family --
+        "lineitem_stats": q_lineitem_stats,
+        "lineitem_moments": q_lineitem_moments,
+        "lineitem_regression": q_lineitem_regression,
+        "corr_customer_orders": q_corr_customer_orders,
+        "orders_mad": q_orders_mad,
+        "orders_argmax": q_orders_argmax,
+        "events_entropy": q_events_entropy,
+        "events_retention": q_events_retention,
+        "events_gini": q_events_gini,
+        "user_autocorr": q_user_autocorr,
+        "ab_welch_t": q_ab_welch_t,
+        # -- text analytics family --
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
         "top_words": q_top_words,
+        "top_trigrams": q_top_trigrams,
+        "top_words_by_df": q_top_words_by_df,
+        "distinctive_words": q_distinctive_words,
+        "docs_regex": q_docs_regex,
+        "events_props_extract": q_events_props_extract,
+        "docs_sentences": q_docs_sentences,
+        "docs_histogram": q_docs_histogram,
+        "docs_outlier_filter": q_docs_outlier_filter,
+        "docs_winsorize": q_docs_winsorize,
+        "docs_split": q_docs_split,
+        "events_impute_mean": q_events_impute_mean,
+        # -- TPC-H compositions --
+        "q3_unshipped_orders": q3_unshipped_orders,
+        "q4_order_priority": q4_order_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_revenue_delta": q6_revenue_delta,
+        "q12_priority_by_flag": q12_priority_by_flag,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_share": q14_promo_share,
+        "trending_types": q_trending_types,
+        # ---- driver window ends here (50 entries above) ----
+        # Never-driver-checked remainder (rotate into the window in r5):
+        "embedding_centroids": q_embedding_centroids,
+        "user_state_scd2": q_user_state_scd2,
+        "user_merged_windows": q_user_merged_windows,
+        "user_time_weighted_value": q_user_time_weighted_value,
+        "user_max_gap": q_user_max_gap,
+        "events_locf": q_events_locf,
+        "events_debounce": q_events_debounce,
+        "event_transitions": q_event_transitions,
+        "audience_overlap": q_audience_overlap,
+        "docs_profile": q_docs_profile,
+        "grouped_quantile_cont": q_grouped_quantile_cont,
+        "customers_except_users": q_customers_except_users,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "events_mode_type": q_events_mode_type,
+        "embeddings_unnest": q_embeddings_unnest,
+        "user_cents_sequence": q_user_cents_sequence,
+        "docs_ksample_per_lang": q_docs_ksample_per_lang,
+        "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
+        "docs_length_tiles": q_docs_length_tiles,
         "events_anti_orders": q_events_anti_orders,
         "events_bloom_semi": q_events_bloom_semi,
         "events_prev_value": q_events_prev_value,
@@ -3628,73 +3667,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_share": q_events_share,
         "cdc_replay_then_rank": q_cdc_replay_then_rank,
-        "docs_ksample_per_lang": q_docs_ksample_per_lang,
-        "csv_jsonl_roundtrip": q_csv_jsonl_roundtrip,
-        "top_trigrams": q_top_trigrams,
-        "top_words_by_df": q_top_words_by_df,
-        "distinctive_words": q_distinctive_words,
-        "orders_rollup": q_orders_rollup,
         "events_orders_full": q_events_orders_full,
-        "lineitem_cube": q_lineitem_cube,
-        "orders_rank_per_customer": q_orders_rank_per_customer,
-        "lineitem_unpivot": q_lineitem_unpivot,
-        "lineitem_stats": q_lineitem_stats,
-        "grouped_quantile_cont": q_grouped_quantile_cont,
-        "customers_except_users": q_customers_except_users,
-        "weighted_sample_docs": q_weighted_sample_docs,
-        "events_mode_type": q_events_mode_type,
-        "events_props_extract": q_events_props_extract,
-        "embeddings_unnest": q_embeddings_unnest,
-        "docs_sentences": q_docs_sentences,
-        "user_cents_sequence": q_user_cents_sequence,
-        "docs_regex": q_docs_regex,
-        "docs_histogram": q_docs_histogram,
-        "docs_profile": q_docs_profile,
-        "q3_unshipped_orders": q3_unshipped_orders,
-        "q6_revenue_delta": q6_revenue_delta,
-        "q12_priority_by_flag": q12_priority_by_flag,
-        "q14_promo_share": q14_promo_share,
-        "docs_outlier_filter": q_docs_outlier_filter,
-        "lineitem_moments": q_lineitem_moments,
-        "orders_mad": q_orders_mad,
-        "events_entropy": q_events_entropy,
-        "orders_argmax": q_orders_argmax,
-        "events_retention": q_events_retention,
-        "docs_edit_distance": q_docs_edit_distance,
-        "word_heavy_hitters": q_word_heavy_hitters,
+        "user_event_sequence": q_user_event_sequence,
+        "events_type_quantile_hist": q_events_type_quantile_hist,
+        # Driver-green in r01–r03 (stable; lowest re-check priority):
+        "cdc_lww_latest": q_cdc_lww_latest,
+        "cdc_first_writer": q_cdc_first_writer,
+        "cdc_route_matrix": q_cdc_route_matrix,
+        "cdc_orphan_routing": q_cdc_orphan_routing,
+        "cdc_date_shift": q_cdc_date_shift,
+        "cdc_date_shift_shuffle": q_cdc_date_shift_shuffle,
+        "pseudo_identity": q_pseudo_identity,
+        "q1_lineitem": q_q1_lineitem,
+        "join_orders_nation": q_join_orders_nation,
+        "top_docs_by_chars": q_top_docs_by_chars,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_rows": q_dedup_exact_rows,
+        "deterministic_sample": q_deterministic_sample,
+        "text_curation": q_text_curation,
+        "token_chunks": q_token_chunks,
+        "text_token_count": q_text_token_count,
+        "text_stats": q_text_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "knn_brute": q_knn_brute,
+        "knn_multi": q_knn_multi,
+        "knn_ivf_full_probe": q_knn_ivf_full_probe,
+        "derive_path": q_derive_path,
+        "flatten_struct": q_flatten_struct,
+        "identity_substitute": q_identity_substitute,
+        "roundtrip_diffmerge": q_roundtrip_diffmerge,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_survivors": q_dedup_cluster_survivors,
+        "asof_join_orders": q_asof_join_orders,
+        "stratified_sample": q_stratified_sample,
+        "range_join_windows": q_range_join_windows,
+        "sessionize_events": q_sessionize_events,
+        "grouped_quantile": q_grouped_quantile,
+        "events_distinct_users": q_events_distinct_users,
+        # Rows-only (no SQL oracle by design; pytest-gated):
+        "simhash_near_dup": q_simhash_near_dup,
+        "pack_sequences": q_pack_sequences,
+        "knn_ivf": q_knn_ivf,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_signatures": q_simhash_signatures,
+        "events_distinct_users_approx": q_events_distinct_users_approx,
         "events_quantile_sketch": q_events_quantile_sketch,
-        "user_state_scd2": q_user_state_scd2,
-        "docs_winsorize": q_docs_winsorize,
-        "user_time_weighted_value": q_user_time_weighted_value,
-        "user_max_gap": q_user_max_gap,
-        "user_merged_windows": q_user_merged_windows,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "event_transitions": q_event_transitions,
-        "audience_overlap": q_audience_overlap,
-        "events_debounce": q_events_debounce,
-        "cdc_mv_source_counts": q_cdc_mv_source_counts,
-        "cdc_snapshot_diff": q_cdc_snapshot_diff,
-        "lineitem_regression": q_lineitem_regression,
-        "events_locf": q_events_locf,
-        "lineitem_shared_scan": q_lineitem_shared_scan,
-        "corr_customer_orders": q_corr_customer_orders,
-        "bm25_search": q_bm25_search,
-        "supplier_pagerank": q_supplier_pagerank,
-        "dup_triangles": q_dup_triangles,
         "events_zorder_layout": q_events_zorder_layout,
-        "ab_welch_t": q_ab_welch_t,
         "audience_overlap_approx": q_audience_overlap_approx,
-        "q4_order_priority": q4_order_priority,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "trending_types": q_trending_types,
-        "embedding_centroids": q_embedding_centroids,
-        "docs_split": q_docs_split,
-        "events_impute_mean": q_events_impute_mean,
-        "events_gini": q_events_gini,
-        "user_autocorr": q_user_autocorr,
-        "lang_id": q_lang_id,
-        "text_quality": q_text_quality,
         "multimodal_features": q_multimodal_features,
         "pipeline_metrics": q_pipeline_metrics,
     }
@@ -3867,7 +3890,11 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 15
         """,
         "csv_jsonl_roundtrip": """
-            SELECT n_nationkey, n_name, n_regionkey FROM nation
+            -- CSV round-trip re-infers integer columns as int64, so the
+            -- oracle casts the parquet int32 keys to match.
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
         """,
         "docs_ksample_per_lang": """
             SELECT lang, doc_id FROM documents
@@ -3992,7 +4019,7 @@ def oracle_sql() -> dict[str, str]:
                          event_type, cents
                   FROM x)
             SELECT make_timestamp(ws) AS window_start, event_type,
-                   count(*) AS n, sum(cents) AS sum_cents
+                   count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
             FROM w GROUP BY 1, 2
         """,
         "grouped_quantile": """
@@ -4418,11 +4445,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_type_pivot": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   sum(CASE WHEN event_type IN ('click', 'view', 'purchase')
-                            THEN 0 ELSE 1 END) AS n_other
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type IN ('click', 'view', 'purchase')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_other
             FROM events GROUP BY user_id
         """,
         "docs_outlier_filter": """
@@ -4556,7 +4586,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_centroids": """
             WITH u AS (
-              SELECT label, e.pos - 1 AS pos, CAST(e.val AS DOUBLE) AS val
+              SELECT CAST(label AS BIGINT) AS label, e.pos - 1 AS pos,
+                     CAST(e.val AS DOUBLE) AS val
               FROM embeddings,
                    LATERAL (SELECT unnest(embedding) AS val,
                                    generate_subscripts(embedding, 1) AS pos) e)
@@ -4578,8 +4609,8 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume_customers": """
             WITH big AS (
               SELECT l_orderkey AS o_orderkey,
-                     sum(CAST(round(l_quantity * 100) AS BIGINT) // 100)
-                       AS sum_qty
+                     CAST(sum(CAST(round(l_quantity * 100) AS BIGINT) // 100)
+                          AS BIGINT) AS sum_qty
               FROM lineitem GROUP BY l_orderkey
               HAVING sum_qty > 300)
             SELECT c_name, o_custkey, o.o_orderkey, o_orderdate, o_totalprice,
@@ -4658,7 +4689,7 @@ def oracle_sql() -> dict[str, str]:
                          CAST(sum(y) AS DOUBLE) sy, CAST(sum(x*y) AS DOUBLE) sxy,
                          CAST(sum(x*x) AS DOUBLE) sxx, CAST(sum(y*y) AS DOUBLE) syy
                   FROM j)
-            SELECT 1 AS one,
+            SELECT CAST(1 AS BIGINT) AS one,
                    (sxy - sx*(sy/n))
                      / sqrt((sxx - sx*(sx/n)) * (syy - sy*(sy/n)))
                      AS corr_bal_orders
@@ -4670,13 +4701,15 @@ def oracle_sql() -> dict[str, str]:
                               CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
                        FROM lineitem)
             SELECT 'returnflag' AS dim, l_returnflag AS key,
-                   count(*) AS n, sum(qty_c) AS sum_qty_c
+                   count(*) AS n, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c
             FROM c GROUP BY l_returnflag
             UNION ALL
-            SELECT 'linestatus', l_linestatus, count(*), sum(qty_c)
+            SELECT 'linestatus', l_linestatus, count(*),
+                   CAST(sum(qty_c) AS BIGINT)
             FROM c GROUP BY l_linestatus
             UNION ALL
-            SELECT 'ship_month', ship_month, count(*), sum(qty_c)
+            SELECT 'ship_month', ship_month, count(*),
+                   CAST(sum(qty_c) AS BIGINT)
             FROM c GROUP BY ship_month
         """,
         "lineitem_regression": """
@@ -4741,7 +4774,8 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY event_id DESC) AS rn
               FROM events)
-            SELECT event_type, sum(cents) AS sum_cents, count(*) AS n_users
+            SELECT event_type, CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   count(*) AS n_users
             FROM latest
             WHERE rn = 1 AND event_id % 10 <> 0
             GROUP BY event_type
@@ -4891,7 +4925,8 @@ def oracle_sql() -> dict[str, str]:
                      AS window_start,
                    event_type,
                    count(*) AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
             FROM events GROUP BY 1, 2
         """,
         "asof_join_orders": """
