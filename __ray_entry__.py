@@ -30,9 +30,11 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from raycdc.util import read_parquet_clean as _rp
+
 
 def _ev(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return _rp(os.path.join(sf_dir, "events.parquet"))
 
 
 def _query_vecs(sf_dir: str, qids: list[int]) -> dict[int, "np.ndarray"]:
@@ -51,7 +53,7 @@ def _query_vecs(sf_dir: str, qids: list[int]) -> dict[int, "np.ndarray"]:
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _rp(os.path.join(sf_dir, "documents.parquet"))
 
 
 # --------------------------------------------------------------------- CDC
@@ -325,7 +327,7 @@ def q_q1_lineitem(sf_dir: str):
     """Pre-aggregated grouped sums (the partial/combiner pattern)."""
     from raycdc.ops import partial_groupby_agg
 
-    ds = rd.read_parquet(
+    ds = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -398,7 +400,7 @@ def q_top_trigrams(sf_dir: str):
     only gram-vocabulary-sized partials shuffle."""
     from raycdc.extras.text import ngram_counts
 
-    docs = rd.read_parquet(
+    docs = _rp(
         os.path.join(sf_dir, "documents.parquet"), columns=["text"]
     )
     return ngram_counts(docs, "text", n=3, k=15)
@@ -410,7 +412,7 @@ def q_top_words_by_df(sf_dir: str):
     inside the batch pass, vocabulary-sized partials only."""
     from raycdc.extras.text import doc_frequency
 
-    docs = rd.read_parquet(
+    docs = _rp(
         os.path.join(sf_dir, "documents.parquet"), columns=["text"]
     )
     return doc_frequency(docs, "text", k=15)
@@ -429,7 +431,7 @@ def q_distinctive_words(sf_dir: str):
     from raycdc.extras.text import WORD_PATTERN, doc_frequency
     from raycdc.ops import hash_join, top_k
 
-    docs = rd.read_parquet(
+    docs = _rp(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
@@ -477,7 +479,7 @@ def q_csv_jsonl_roundtrip(sf_dir: str):
     import uuid
 
     work = f"/tmp/raycdc_work/fmt_{uuid.uuid4().hex[:8]}"
-    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    nation = _rp(os.path.join(sf_dir, "nation.parquet"))
     nation.write_csv(os.path.join(work, "csv"))
     back = rd.read_csv(os.path.join(work, "csv"))
     back.write_json(os.path.join(work, "jsonl"))
@@ -505,7 +507,7 @@ def q_docs_ksample_per_lang(sf_dir: str):
     from raycdc.extras.dedup import _md5_col
     from raycdc.ops import top_k
 
-    docs = rd.read_parquet(
+    docs = _rp(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
     ).map_batches(
         lambda t: t.append_column(
@@ -526,12 +528,12 @@ def q_join_orders_nation(sf_dir: str):
     and a broadcast nation-name lookup."""
     from raycdc.ops import broadcast_lookup, hash_join, partial_groupby_agg
 
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     ).map_batches(
         lambda t: t.rename_columns(["custkey", "totalprice"]), batch_format="pyarrow"
     )
-    customer = rd.read_parquet(
+    customer = _rp(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
     ).map_batches(
         lambda t: t.rename_columns(["custkey", "nationkey"]), batch_format="pyarrow"
@@ -710,7 +712,7 @@ def q_knn_brute(sf_dir: str):
             )[:10]
             return out.take(idx)
 
-    ds = rd.read_parquet(emb_path).map_batches(Score, batch_format="pyarrow", concurrency=(1, 2))
+    ds = _rp(emb_path).map_batches(Score, batch_format="pyarrow", concurrency=(1, 2))
 
     # candidates ≤ 10 × n_batches rows by construction → one-task fold
     # (Ray's Sort operator costs seconds of fixed overhead on tiny data)
@@ -732,7 +734,7 @@ def q_knn_multi(sf_dir: str):
     qids = [0, 1, 2]
     by_id = _query_vecs(sf_dir, qids)
     vecs = [by_id[qid] for qid in qids]
-    out = knn_brute(rd.read_parquet(emb_path), np.stack(vecs), k=5)
+    out = knn_brute(_rp(emb_path), np.stack(vecs), k=5)
     # query_id is the position in the query matrix == the vec_id here
     return out.map_batches(
         lambda t: t.select(["query_id", "vec_id", "sim"]), batch_format="pyarrow"
@@ -846,7 +848,7 @@ def q_embedding_cosine_pairs(sf_dir: str):
     embedding_near_dup_lsh (rows-only) entry."""
     from raycdc.extras.dedup import embedding_near_dup
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _rp(os.path.join(sf_dir, "embeddings.parquet"))
     out = embedding_near_dup(ds, threshold=0.40, n_planes=0)
     return out.map_batches(lambda t: t.drop_columns(["_bucket"]) if "_bucket" in t.column_names else t,
                            batch_format="pyarrow")
@@ -858,7 +860,7 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     rows-only check)."""
     from raycdc.extras.dedup import embedding_near_dup
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _rp(os.path.join(sf_dir, "embeddings.parquet"))
     return embedding_near_dup(ds, threshold=0.40, n_planes=4, n_tables=3)
 
 
@@ -886,7 +888,7 @@ def q_asof_join_orders(sf_dir: str):
     ev = _ev(sf_dir).map_batches(
         lambda t: t.select(["event_id", "user_id", "ts"]), batch_format="pyarrow"
     )
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderkey", "o_orderdate"],
     )
@@ -1032,7 +1034,7 @@ def q_knn_ivf(sf_dir: str):
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     qv = _query_vecs(sf_dir, [0])[0]
-    ds = rd.read_parquet(emb_path)
+    ds = _rp(emb_path)
     idx = IVFIndex(n_clusters=8, n_iter=5).fit(ds)
     return idx.search(idx.assign(ds), qv, k=10, nprobe=4)
 
@@ -1046,7 +1048,7 @@ def q_knn_ivf_full_probe(sf_dir: str):
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     qv = _query_vecs(sf_dir, [0])[0]
-    ds = rd.read_parquet(emb_path)
+    ds = _rp(emb_path)
     idx = IVFIndex(n_clusters=8, n_iter=5).fit(ds)
     out = idx.search(idx.assign(ds), qv, k=10, nprobe=8)
     return out.map_batches(lambda t: t.select(["vec_id", "sim"]), batch_format="pyarrow")
@@ -1054,13 +1056,26 @@ def q_knn_ivf_full_probe(sf_dir: str):
 
 def q_pipeline_metrics(sf_dir: str):
     """Metrics/provenance counters (LogCacheStatistics analog, S4/A1):
-    run a counted pipeline and return the accumulated counters as rows."""
+    run a counted pipeline plus a metered LWW apply and return the
+    accumulated counters as rows — including the apply-path index
+    statistics (fold_rows_in / keys_out / rows_superseded), the engine's
+    equivalent of the reference's Guava cache hit/miss/size dump
+    (``DeidentificationController.java:102,171-174``)."""
+    from raycdc.apply import lww_apply
     from raycdc.metrics import Metrics, count_rows
 
     m = Metrics("q_metrics")
     m.reset()
     ds = count_rows(_docs(sf_dir), "docs_seen", metrics_name="q_metrics")
     ds.count()
+    ev = _ev(sf_dir).map_batches(
+        lambda t: t.select(["user_id", "event_id", "event_type"]).append_column(
+            "lsn", t["event_id"].cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    lww_apply(ev, key="user_id", num_buckets=16, meta_drop=("op",),
+              metrics_name="q_metrics").count()
     m.incr("runs", 1)
     stats = m.stats_stable()  # poll until in-flight increments drain
     return pa.table(
@@ -1231,7 +1246,7 @@ def q_events_bloom_semi(sf_dir: str):
     ev = _ev(sf_dir).map_batches(
         lambda t: t.select(["event_id", "user_id"]), batch_format="pyarrow"
     )
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
     ).map_batches(
         lambda t: t.filter(
@@ -1314,7 +1329,7 @@ def q_events_anti_orders(sf_dir: str):
     ev = _ev(sf_dir).map_batches(
         lambda t: t.select(["event_id", "user_id"]), batch_format="pyarrow"
     )
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
     ).map_batches(
         lambda t: t.filter(
@@ -1404,7 +1419,7 @@ def q_orders_rollup(sf_dir: str):
     re-folded from the finest aggregate, never from raw rows."""
     from raycdc.ops import rollup_agg
 
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
     ).map_batches(
@@ -1426,7 +1441,7 @@ def q_lineitem_cube(sf_dir: str):
     finest aggregate (a handful of rows), never the input."""
     from raycdc.ops import cube_agg
 
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
     ).map_batches(
@@ -1448,7 +1463,7 @@ def q_orders_rank_per_customer(sf_dir: str):
     SQL's two-ORDER-BY-lists window idiom."""
     from raycdc.ops import grouped_rank
 
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
@@ -1468,7 +1483,7 @@ def q_lineitem_unpivot(sf_dir: str):
     slices."""
     from raycdc.ops import unpivot
 
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
     ).map_batches(
@@ -1495,7 +1510,7 @@ def q_docs_histogram(sf_dir: str):
     at most bins×langs partial rows per batch ever shuffle."""
     from raycdc.ops import histogram_agg
 
-    docs = rd.read_parquet(
+    docs = _rp(
         os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
     )
     return histogram_agg(docs, "n_chars", lo=0, hi=2000, nbins=20, key="lang")
@@ -1508,7 +1523,7 @@ def q_docs_profile(sf_dir: str):
     combiner."""
     from raycdc.ops import profile_columns
 
-    docs = rd.read_parquet(
+    docs = _rp(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "n_chars"],
     )
@@ -1522,7 +1537,7 @@ def q_docs_regex(sf_dir: str):
     the RE2 engine so the oracle runs the same patterns verbatim."""
     from raycdc.extras.text import regex_extract, regex_replace
 
-    docs = rd.read_parquet(
+    docs = _rp(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = regex_extract(docs, "text", r"(?P<g>\d+)", out_col="num")
@@ -1538,7 +1553,7 @@ def q_docs_sentences(sf_dir: str):
     pass + the vectorized unnest gather; map-only, no shuffle."""
     from raycdc.extras.text import split_to_rows
 
-    docs = rd.read_parquet(
+    docs = _rp(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return split_to_rows(docs, "text", r"[.!?]\s+", out_col="sentence")
@@ -1551,7 +1566,7 @@ def q_embeddings_unnest(sf_dir: str):
     reshape for per-dimension feature analysis."""
     from raycdc.ops import unnest_list
 
-    emb = rd.read_parquet(
+    emb = _rp(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     return unnest_list(emb, "embedding", out_col="x", index_col="dim")
@@ -1584,7 +1599,7 @@ def q_events_props_extract(sf_dir: str):
     move every training-data pipeline does."""
     from raycdc.extras.text import json_extract_scalar
 
-    ev = rd.read_parquet(
+    ev = _rp(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
     )
     out = json_extract_scalar(ev, "props", "k", out_col="k_str")
@@ -1603,7 +1618,7 @@ def q_events_mode_type(sf_dir: str):
     shuffle picks each user's head."""
     from raycdc.ops import grouped_mode
 
-    ev = rd.read_parquet(
+    ev = _rp(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
     )
     return grouped_mode(ev, "user_id", "event_type", out_col="mode", n_col="n")
@@ -1617,7 +1632,7 @@ def q_weighted_sample_docs(sf_dir: str):
     the vectorized siphash kernel is the engine default."""
     from raycdc.ops import weighted_sample
 
-    docs = rd.read_parquet(
+    docs = _rp(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "n_chars"],
     ).map_batches(
@@ -1640,10 +1655,10 @@ def q_customers_except_users(sf_dir: str):
     only one row per distinct key per batch ever moves."""
     from raycdc.ops import set_op
 
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
     )
-    ev = rd.read_parquet(
+    ev = _rp(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
     ).map_batches(lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow")
     return set_op(orders, ev, "except")
@@ -1679,7 +1694,7 @@ def q_lineitem_stats(sf_dir: str):
     BIT-IDENTICAL to SQL, not merely close."""
     from raycdc.ops import moment_agg
 
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_quantity", "l_discount"],
     ).map_batches(
@@ -1713,7 +1728,7 @@ def q3_unshipped_orders(sf_dir: str):
     from raycdc.ops import hash_join, partial_groupby_agg, top_k
 
     cutoff = pa.scalar(datetime.datetime(1995, 3, 15), type=pa.timestamp("us"))
-    cust = rd.read_parquet(
+    cust = _rp(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"],
     ).map_batches(
@@ -1722,7 +1737,7 @@ def q3_unshipped_orders(sf_dir: str):
         ).rename_columns(["o_custkey"]),
         batch_format="pyarrow",
     )
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(
@@ -1735,7 +1750,7 @@ def q3_unshipped_orders(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
     ).map_batches(
@@ -1783,7 +1798,7 @@ def q6_revenue_delta(sf_dir: str):
         )
         return pa.table({"rev": rev})
 
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
     ).map_batches(fold, batch_format="pyarrow")
@@ -1798,14 +1813,14 @@ def q12_priority_by_flag(sf_dir: str):
     via a vectorized indicator stamp + combiner groupby."""
     from raycdc.ops import hash_join, partial_groupby_agg
 
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_returnflag"],
     ).map_batches(
         lambda t: t.rename_columns(["o_orderkey", "l_returnflag"]),
         batch_format="pyarrow",
     )
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority"],
     )
@@ -1840,7 +1855,7 @@ def q14_promo_share(sf_dir: str):
 
     lo = pa.scalar(datetime.datetime(1995, 9, 1), type=pa.timestamp("us"))
     hi = pa.scalar(datetime.datetime(1995, 10, 1), type=pa.timestamp("us"))
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
     ).map_batches(
@@ -1864,7 +1879,7 @@ def q14_promo_share(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    part = rd.read_parquet(
+    part = _rp(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
     ).map_batches(
         lambda t: pa.table(
@@ -1902,7 +1917,7 @@ def q_region_nation_grid(sf_dir: str):
     region table ships once via ray.put, never a shuffle."""
     from raycdc.ops import cross_join
 
-    nation = rd.read_parquet(
+    nation = _rp(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     )
     region = pq.read_table(
@@ -1917,7 +1932,7 @@ def q_lineitem_wmean(sf_dir: str):
     finalize is the oracle's exact sum(x*w)/sum(w) division."""
     from raycdc.ops import moment_agg
 
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_quantity", "l_extendedprice"],
     ).map_batches(
@@ -1950,11 +1965,11 @@ def q_events_orders_full(sf_dir: str):
     from raycdc.ops import hash_join, partial_groupby_agg
 
     ev = partial_groupby_agg(
-        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"]),
+        _rp(os.path.join(sf_dir, "events.parquet"), columns=["user_id"]),
         ["user_id"], {"n_events": ("user_id", "count")},
     )
     orders = partial_groupby_agg(
-        rd.read_parquet(
+        _rp(
             os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
         ).map_batches(lambda t: t.rename_columns(["user_id"]), batch_format="pyarrow"),
         ["user_id"], {"n_orders": ("user_id", "count")},
@@ -2137,7 +2152,7 @@ def q_lineitem_moments(sf_dir: str):
     bit-equal with NO rounding step."""
     from raycdc.ops import moment_agg
 
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_quantity"],
     ).map_batches(
@@ -2166,7 +2181,7 @@ def q_orders_mad(sf_dir: str):
     rounding contract."""
     from raycdc.ops import grouped_mad
 
-    o = rd.read_parquet(
+    o = _rp(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderpriority", "o_totalprice"],
     ).map_batches(
@@ -2203,7 +2218,7 @@ def q_orders_argmax(sf_dir: str):
     shuffle."""
     from raycdc.ops import grouped_arg_extreme
 
-    o = rd.read_parquet(
+    o = _rp(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_totalprice", "o_orderkey"],
     )
@@ -2278,7 +2293,7 @@ def q_docs_edit_distance(sf_dir: str):
     SQL self-join on the identical block key + ``levenshtein()``."""
     from raycdc.extras.dedup import edit_distance_pairs
 
-    docs = rd.read_parquet(
+    docs = _rp(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return edit_distance_pairs(
@@ -2295,7 +2310,7 @@ def q_word_heavy_hitters(sf_dir: str):
     truncation genuinely exercised at every scale."""
     from raycdc.extras.text import word_heavy_hitters
 
-    docs = rd.read_parquet(
+    docs = _rp(
         os.path.join(sf_dir, "documents.parquet"), columns=["text"]
     )
     return word_heavy_hitters(docs, frac=0.002, m=512)
@@ -2500,7 +2515,7 @@ def q5_local_supplier_volume(sf_dir: str):
     nkeys = set(nat["n_nationkey"].to_pylist())
     nname = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
 
-    cust = rd.read_parquet(
+    cust = _rp(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
     ).map_batches(
         lambda t: t.filter(pc.is_in(t["c_nationkey"],
@@ -2510,7 +2525,7 @@ def q5_local_supplier_volume(sf_dir: str):
     )
     lo = datetime.datetime(1996, 1, 1)
     hi = datetime.datetime(1998, 1, 1)
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(
@@ -2525,7 +2540,7 @@ def q5_local_supplier_volume(sf_dir: str):
             ["l_orderkey", "c_nationkey"]),
         batch_format="pyarrow",
     )
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(
@@ -2545,7 +2560,7 @@ def q5_local_supplier_volume(sf_dir: str):
         batch_format="pyarrow",
     )
     lioc = hash_join(li, oc, key="l_orderkey")
-    supp = rd.read_parquet(
+    supp = _rp(
         os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
     )
     j = hash_join(lioc, supp, key="s_suppkey").map_batches(
@@ -2855,7 +2870,7 @@ def q_lineitem_regression(sf_dir: str):
     mirrored SQL expressions (one pass, no shuffle of rows)."""
     from raycdc.ops import moment_agg
 
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_quantity", "l_extendedprice"],
     ).map_batches(
@@ -2930,7 +2945,7 @@ def q_lineitem_shared_scan(sf_dir: str):
     Oracle: UNION ALL of the three GROUP BYs in the same melted shape."""
     from raycdc.ops import shared_scan_agg
 
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"],
     ).map_batches(
@@ -2961,7 +2976,7 @@ def q_corr_customer_orders(sf_dir: str):
     pytest-gated against."""
     from raycdc.ops import hash_join, moment_agg, partial_groupby_agg
 
-    cust = rd.read_parquet(
+    cust = _rp(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
     ).map_batches(
         lambda t: pa.table(
@@ -2981,7 +2996,7 @@ def q_corr_customer_orders(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     ).map_batches(
         lambda t: pa.table(
@@ -3017,7 +3032,7 @@ def q_bm25_search(sf_dir: str):
     absorbs the one non-IEEE-fixed op, ln())."""
     from raycdc.extras.text import bm25_topk
 
-    docs = rd.read_parquet(
+    docs = _rp(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return bm25_topk(docs, ["hash", "join", "merge"], k=20)
@@ -3035,11 +3050,11 @@ def q_supplier_pagerank(sf_dir: str):
     chained CTEs; final ranks ROUND(·,6) on both sides."""
     from raycdc.ops import hash_join, pagerank
 
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_suppkey"],
     )
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey"],
     ).map_batches(
@@ -3217,7 +3232,7 @@ def q4_order_priority(sf_dir: str):
 
     lo = datetime.datetime(1996, 7, 1)
     hi = datetime.datetime(1996, 10, 1)
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     ).map_batches(
@@ -3227,7 +3242,7 @@ def q4_order_priority(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_shipdate"],
     )
@@ -3258,11 +3273,11 @@ def q13_customer_distribution(sf_dir: str):
     combiners; the left join is the one bounded shuffle."""
     from raycdc.ops import hash_join, partial_groupby_agg
 
-    cust = rd.read_parquet(
+    cust = _rp(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
     ).map_batches(lambda t: t.rename_columns(["o_custkey"]),
                   batch_format="pyarrow")
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderkey"],
     )
@@ -3291,7 +3306,7 @@ def q18_large_volume_customers(sf_dir: str):
     joins — never the other way around."""
     from raycdc.ops import hash_join, partial_groupby_agg
 
-    li = rd.read_parquet(
+    li = _rp(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_quantity"],
     ).map_batches(
@@ -3310,12 +3325,12 @@ def q18_large_volume_customers(sf_dir: str):
         lambda t: t.filter(pc.greater(t["sum_qty"], pa.scalar(300, pa.int64()))),
         batch_format="pyarrow",
     )
-    orders = rd.read_parquet(
+    orders = _rp(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
     j = hash_join(big, orders, key="o_orderkey")
-    cust = rd.read_parquet(
+    cust = _rp(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
     ).map_batches(lambda t: t.rename_columns(["o_custkey", "c_name"]),
                   batch_format="pyarrow")
@@ -3384,7 +3399,7 @@ def q_embedding_centroids(sf_dir: str):
             "_n": pa.array(cnt.ravel(), pa.int64()),
         })
 
-    ds = rd.read_parquet(
+    ds = _rp(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
     ).map_batches(partial, batch_format="pyarrow")
     agg = partial_groupby_agg(ds, ["label", "pos"],

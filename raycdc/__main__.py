@@ -148,7 +148,9 @@ def main(argv=None) -> int:
         if "__base__" in lk.manifest()["segments_applied"]:
             print(json.dumps({"noop": True, "reason": "already seeded"}))
             return 0
-        r = lk.apply(base_as_inserts(ray.data.read_parquet(args.base_dir)), ["__base__"])
+        from raycdc.util import read_parquet_clean
+
+        r = lk.apply(base_as_inserts(read_parquet_clean(args.base_dir)), ["__base__"])
         print(json.dumps(r))
         return 0
 

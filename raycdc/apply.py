@@ -96,14 +96,47 @@ def lww_apply_table(
     return drop_tombstones(out, op_col=op_col)
 
 
-class _PartialLww:
+class _MetricsMixin:
+    """Optional fire-and-forget counter publishing (LogCacheStatistics
+    parity, ``DeidentificationController.java:102,171-174`` — the
+    reference logs Guava cache hit/miss/size; here 'hit' ≡ a row
+    superseded by a newer LSN for its key, 'size' ≡ surviving keys).
+    Off (``metrics_name=None``) ⇒ zero hot-path cost."""
+
+    metrics_name: str | None = None
+    _metrics_handle = None
+
+    def _incr_many(self, items: dict) -> None:
+        if not self.metrics_name:
+            return
+        if self._metrics_handle is None:
+            import ray
+
+            try:
+                self._metrics_handle = ray.get_actor(self.metrics_name)
+            except ValueError:  # actor gone (e.g. driver exited) — disable
+                self.metrics_name = None
+                return
+        self._metrics_handle.incr_many.remote(items)
+
+
+class _PartialLww(_MetricsMixin):
     """Level-1 per-batch reduce (stateless; cheap enough for tasks)."""
 
-    def __init__(self, key: str, lsn_col: str):
+    def __init__(self, key: str, lsn_col: str, metrics_name: str | None = None):
         self.key, self.lsn_col = key, lsn_col
+        self.metrics_name = metrics_name
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return last_writer_per_key(batch, self.key, self.lsn_col)
+        out = last_writer_per_key(batch, self.key, self.lsn_col)
+        if self.metrics_name:
+            self._incr_many(
+                {
+                    "apply.partial_rows_in": batch.num_rows,
+                    "apply.partial_rows_out": out.num_rows,
+                }
+            )
+        return out
 
 
 def _with_bucket(batch: pa.Table, key: str, num_buckets: int, salt_col: str | None = None,
@@ -117,6 +150,49 @@ def _with_bucket(batch: pa.Table, key: str, num_buckets: int, salt_col: str | No
     return batch.append_column("_bucket", pa.array(b))
 
 
+class _FinalFold(_MetricsMixin):
+    """Level-2 per-bucket fold. With ``metrics_name`` set, publishes the
+    cache-statistics analogs per bucket: rows entering the fold,
+    surviving keys, superseded rows ('hits' — the key was already
+    present with a newer LSN), and tombstones dropped."""
+
+    def __init__(
+        self,
+        key: str,
+        lsn_col: str,
+        op_col: str,
+        drop_meta: bool,
+        drop_tomb: bool = True,
+        meta_drop: tuple | None = None,
+        metrics_name: str | None = None,
+    ):
+        self.key, self.lsn_col, self.op_col = key, lsn_col, op_col
+        self.drop_meta, self.drop_tomb, self.meta_drop = drop_meta, drop_tomb, meta_drop
+        self.metrics_name = metrics_name
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        rows_in = group.num_rows
+        out = last_writer_per_key(group, self.key, self.lsn_col)
+        winners = out.num_rows
+        if self.drop_tomb:
+            out = drop_tombstones(out, self.op_col)
+        if self.metrics_name:
+            self._incr_many(
+                {
+                    "apply.fold_rows_in": rows_in,
+                    "apply.keys_out": out.num_rows,
+                    "apply.rows_superseded": rows_in - winners,
+                    "apply.tombstones_dropped": winners - out.num_rows,
+                    "apply.buckets_folded": 1,
+                }
+            )
+        if self.drop_meta:
+            to_drop = self.meta_drop if self.meta_drop is not None else (self.lsn_col, self.op_col)
+            drop = [c for c in (*META_COLS, *to_drop) if c in out.column_names]
+            out = out.drop_columns(drop)
+        return out
+
+
 def _final_fold(
     key: str,
     lsn_col: str,
@@ -124,16 +200,12 @@ def _final_fold(
     drop_meta: bool,
     drop_tomb: bool = True,
     meta_drop: tuple | None = None,
+    metrics_name: str | None = None,
 ):
-    def fold(group: pa.Table) -> pa.Table:
-        out = last_writer_per_key(group, key, lsn_col)
-        if drop_tomb:
-            out = drop_tombstones(out, op_col)
-        if drop_meta:
-            to_drop = meta_drop if meta_drop is not None else (lsn_col, op_col)
-            drop = [c for c in (*META_COLS, *to_drop) if c in out.column_names]
-            out = out.drop_columns(drop)
-        return out
+    ff = _FinalFold(key, lsn_col, op_col, drop_meta, drop_tomb, meta_drop, metrics_name)
+
+    def fold(group: pa.Table) -> pa.Table:  # map_groups needs a plain fn
+        return ff(group)
 
     return fold
 
@@ -170,20 +242,32 @@ def lww_apply(
     drop_meta: bool = True,
     salt_buckets: int = 1,
     meta_drop: tuple | None = None,
+    metrics_name: str | None = None,
 ) -> ray.data.Dataset:
     """Distributed LWW apply: events (+ optional base) → converged table.
 
     Pipeline: per-batch partial reduce → hash-bucket shuffle → per-bucket
     vectorized fold. With ``salt_buckets > 1`` the first fold runs on
     (bucket ⊕ salt(lsn)) and a second tiny fold merges the salted
-    sub-results (hot-key path)."""
+    sub-results (hot-key path).
+
+    ``metrics_name``: when set, the stages publish fire-and-forget
+    LWW-index counters (partial_rows_in/out, fold_rows_in, keys_out,
+    rows_superseded, tombstones_dropped) to that named metrics actor —
+    the LogCacheStatistics analog. The actor is created here if absent."""
+    if metrics_name:
+        from raycdc.metrics import Metrics
+
+        Metrics(metrics_name)  # ensure the named actor exists before tasks run
     ds = events_ds
     if base_ds is not None:
         order = events_ds.schema().names
         ds = base_as_inserts(base_ds, lsn_col, op_col, column_order=order).union(ds)
 
     ds = ds.map_batches(
-        _PartialLww(key, lsn_col), batch_format="pyarrow", batch_size=batch_size
+        _PartialLww(key, lsn_col, metrics_name=metrics_name),
+        batch_format="pyarrow",
+        batch_size=batch_size,
     )
     salt_col = lsn_col if salt_buckets > 1 else None
     ds = ds.map_batches(
@@ -204,6 +288,7 @@ def lww_apply(
             lambda t: _with_bucket(t, key, num_buckets), batch_format="pyarrow"
         )
     return ds.groupby("_bucket").map_groups(
-        _final_fold(key, lsn_col, op_col, drop_meta, meta_drop=meta_drop),
+        _final_fold(key, lsn_col, op_col, drop_meta, meta_drop=meta_drop,
+                    metrics_name=metrics_name),
         batch_format="pyarrow",
     )

@@ -261,6 +261,7 @@ class LakeTable:
         commit_mode: str = "shuffle",
         l0_compact_files: int = 24,
         lock_lease_s: float = 600.0,
+        metrics_name: str | None = None,
     ):
         """``commit_mode`` picks the ingest/merge trade:
 
@@ -289,6 +290,10 @@ class LakeTable:
         self.commit_mode = commit_mode
         self.l0_compact_files = l0_compact_files
         self.lock_lease_s = lock_lease_s
+        # optional LogCacheStatistics-analog counters: epoch stats are
+        # published driver-side from the already-collected per-partition
+        # stats rows, so the hot path pays nothing (metrics.py)
+        self.metrics_name = metrics_name
         self._requested_partitions = num_partitions
 
     # ------------------------------------------------------------ manifest
@@ -650,7 +655,28 @@ class LakeTable:
             }
         ]
         self._commit_manifest(m2)
+        self._publish_epoch_metrics(
+            {
+                "lake.epochs_committed": 1,
+                "lake.events_after_reduce": events_in,
+                "lake.partitions_touched": touched,
+                "lake.compactions": compactions,
+                "lake.keys_live": sum(
+                    int(ent["live_rows"]) for ent in partitions.values()
+                    if ent.get("live_rows") not in (None, -1)
+                ),
+            }
+        )
         return m2["history"][-1]
+
+    def _publish_epoch_metrics(self, items: dict) -> None:
+        """Driver-side counter publish (LogCacheStatistics analog) from
+        stats already in hand — adds no work to the apply tasks."""
+        if not self.metrics_name:
+            return
+        from raycdc.metrics import Metrics
+
+        Metrics(self.metrics_name).actor.incr_many.remote(items)
 
     def _apply_l0(self, m: dict, new_names: list[str], events_ds, epoch: int,
                   epoch_rel: str, batch_size: int) -> dict:
@@ -769,6 +795,13 @@ class LakeTable:
             }
         ]
         self._commit_manifest(m2)
+        self._publish_epoch_metrics(
+            {
+                "lake.epochs_committed": 1,
+                "lake.events_after_reduce": sum(int(r["rows"]) for r in stats_rows),
+                "lake.l0_runs_written": len(stats_rows),
+            }
+        )
         result = m2["history"][-1]
         if len(m2["l0"]) > self.l0_compact_files:
             # bound merge-on-read fan-in: fold pending runs into bases

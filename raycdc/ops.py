@@ -466,7 +466,10 @@ def grouped_shift_from_min(
         df[out_col] = df[col] - df.groupby(key)[col].transform("min")
         if keep_cols:
             df = df[keep_cols]
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # replace_schema_metadata(None): from_pandas attaches a 'pandas'
+        # metadata blob that makes the schema unhashable in pyarrow 16,
+        # defeating Ray's block-schema dedup downstream
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(stamp, batch_format="pyarrow", batch_size=batch_size)
@@ -3890,4 +3893,6 @@ def write_zordered(
         batch_format="pyarrow",
     )
     z.write_parquet(out_dir)
-    return ray.data.read_parquet(out_dir)
+    from raycdc.util import read_parquet_clean
+
+    return read_parquet_clean(out_dir)

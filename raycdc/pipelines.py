@@ -16,6 +16,7 @@ import shutil
 import ray.data
 
 from raycdc.apply import base_as_inserts
+from raycdc.util import read_parquet_clean
 from raycdc.lake import LakeTable
 from raycdc.synth import EventGenConfig, write_base, write_changelog
 from raycdc.tailer import tail_until_caught_up
@@ -206,7 +207,7 @@ def cdc_replay(
     lake.init()
     if "__base__" not in lake.manifest()["segments_applied"]:
         lake.apply(
-            base_as_inserts(ray.data.read_parquet(base_dir)), ["__base__"], batch_size=batch_size
+            base_as_inserts(read_parquet_clean(base_dir)), ["__base__"], batch_size=batch_size
         )
     tail_until_caught_up(
         lake,
@@ -262,4 +263,4 @@ def curate_sample_write(
     )
     sam = weighted_sample(cur, id_col, "w", hash_kernel=hash_kernel)
     sam.write_parquet(out_dir, partition_cols=[partition_col])
-    return ray.data.read_parquet(out_dir)
+    return read_parquet_clean(out_dir)

@@ -76,7 +76,9 @@ def read_segments(
         # bundles the (byte-tiny) path blocks into a handful of tasks and
         # parallelism collapses to the bundle count, not the segment count
         return ds.map_batches(read_files, batch_format="pyarrow", batch_size=1)
-    ds = ray.data.read_parquet(paths, include_paths=provenance)
+    from raycdc.util import read_parquet_clean
+
+    ds = read_parquet_clean(paths, include_paths=provenance)
     if not provenance:
         return ds
 

@@ -17,6 +17,7 @@ computed it — that property is what makes replay re-convergent
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -147,3 +148,43 @@ def md5_hex_column(values) -> pa.Array:
 def combine_chunks(table: pa.Table) -> pa.Table:
     """Flatten chunked columns so numpy views are contiguous."""
     return table.combine_chunks() if table.num_rows else table
+
+
+def strip_schema_metadata(table: pa.Table) -> pa.Table:
+    """Zero-copy drop of schema-level metadata (e.g. the ``pandas`` blob
+    parquet writers attach). pyarrow 16 schemas WITH metadata are
+    unhashable, which defeats Ray Data's block-schema dedup fast path and
+    logs ``Failed to hash the schemas (for deduplication)`` on every
+    multi-block read — strip it at the source instead."""
+    return table.replace_schema_metadata(None) if table.schema.metadata else table
+
+
+def read_parquet_clean(paths, *, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with schema metadata stripped.
+
+    For a single parquet file whose schema carries metadata, the stripped
+    (and column-projected) schema is passed straight to the read so even
+    the read operator's internal schema unification sees hashable
+    schemas — no extra stage at all. Directories / path lists (hive
+    partition columns make a pre-derived schema unsafe) fall back to a
+    fused zero-copy strip stage; metadata-free files read plain."""
+    import ray.data
+
+    if (
+        isinstance(paths, str)
+        and paths.endswith(".parquet")
+        and os.path.isfile(paths)
+        and "schema" not in kwargs
+    ):
+        import pyarrow.parquet as pq
+
+        s = pq.read_schema(paths)
+        if not s.metadata:
+            return ray.data.read_parquet(paths, columns=columns, **kwargs)
+        s = s.remove_metadata()
+        if columns:
+            s = pa.schema([s.field(c) for c in columns])
+        return ray.data.read_parquet(paths, schema=s, columns=columns, **kwargs)
+    return ray.data.read_parquet(paths, columns=columns, **kwargs).map_batches(
+        strip_schema_metadata, batch_format="pyarrow"
+    )

@@ -136,3 +136,63 @@ def test_apply_changeset_empty_batch_keeps_schema():
     out = apply_changeset(enc)
     assert out.num_rows == 0
     assert set(out.column_names) == set(base.column_names) | {"_route"}
+
+
+def test_lww_apply_publishes_index_counters():
+    """LogCacheStatistics parity (DeidentificationController.java:102,171-174):
+    a metered lww_apply publishes partial/fold/keys/superseded/tombstone
+    counters whose invariants are checkable exactly on a fixture replay."""
+    from raycdc.apply import lww_apply
+
+    keys = [f"k{i}" for i in range(10)]
+    rows = {"doc_id": [], "lsn": [], "op": [], "v": []}
+    for k in keys:
+        for lsn in (1, 2, 3):
+            rows["doc_id"].append(k)
+            rows["lsn"].append(lsn)
+            rows["op"].append("upsert")
+            rows["v"].append(f"{k}@{lsn}")
+    for k in keys[:2]:  # tombstone is the global last writer for k0, k1
+        rows["doc_id"].append(k)
+        rows["lsn"].append(4)
+        rows["op"].append("delete")
+        rows["v"].append("")
+    ev = pa.table({"doc_id": rows["doc_id"],
+                   "lsn": pa.array(rows["lsn"], type=pa.int64()),
+                   "op": rows["op"], "v": rows["v"]})
+
+    m = Metrics("test_apply_metrics")
+    m.reset()
+    out = lww_apply(rd.from_arrow(ev), key="doc_id", num_buckets=4,
+                    metrics_name="test_apply_metrics")
+    assert out.count() == 8  # 10 keys - 2 tombstoned
+    s = m.stats_stable()
+    assert s["apply.partial_rows_in"] == 32
+    # level-1 output == level-2 input (the bucket stamp adds no rows)
+    assert s["apply.partial_rows_out"] == s["apply.fold_rows_in"]
+    assert s["apply.keys_out"] == 8
+    assert s["apply.tombstones_dropped"] == 2
+    # winners = keys_out + tombstones; everything else was superseded
+    winners = s["apply.fold_rows_in"] - s["apply.rows_superseded"]
+    assert winners == 10
+    assert s["apply.buckets_folded"] >= 1
+
+
+def test_lake_apply_publishes_epoch_counters(tmp_path):
+    """Driver-side lake epoch counters: published from stats already in
+    hand at commit, so the apply tasks pay nothing."""
+    from raycdc.apply import base_as_inserts
+    from raycdc.lake import LakeTable
+
+    m = Metrics("test_lake_metrics")
+    m.reset()
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4,
+                     metrics_name="test_lake_metrics")
+    lake.init()
+    base = base_table(50, seed=3, min_len=4, max_len=8)
+    lake.apply(base_as_inserts(rd.from_arrow(base)), ["__base__"])
+    s = m.stats_stable()
+    assert s["lake.epochs_committed"] == 1
+    assert s["lake.events_after_reduce"] == 50
+    assert s["lake.partitions_touched"] >= 1
+    assert s["lake.keys_live"] == 50  # first epoch compacts every partition

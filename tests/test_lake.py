@@ -650,3 +650,70 @@ def test_compact_zorder_clusters_rowgroups_and_preserves_state(tmp_path):
     # without clustering every row group of a random column overlaps a
     # 5% range; z-ordered bases must skip some on BOTH columns
     assert any(f < 1.0 for f in frac), frac
+
+
+@pytest.mark.parametrize("mode", ["l0", "shuffle"])
+def test_midepoch_task_failure_then_rerun_commits_once(tmp_path, mode):
+    """Mid-epoch WRITE failure (VERDICT r3 §7): a worker task dies after
+    sibling tasks have already written state files for the epoch, before
+    the driver's take_all() returns. The manifest must not advance; the
+    clean re-run must commit exactly once; in L0 mode the content-derived
+    run names make the rewrite overwrite (not duplicate) any orphans, so
+    the epoch directory ends with exactly the manifest-referenced files."""
+    import glob as _glob
+    import time as _time
+
+    base, log_dir, all_events = make_log(tmp_path, seed=41, n_segments=2)
+    lk = LakeTable(str(tmp_path / f"lake_{mode}"), num_partitions=8, commit_mode=mode)
+    lk.init()
+    seeded_lake(lk, base)
+    epoch0 = lk.manifest()["epoch"]
+
+    segs = sorted(os.listdir(log_dir))
+    ev = rd.read_parquet([os.path.join(log_dir, s) for s in segs])
+    valid = ev.map_batches(
+        lambda t: t.filter(pa.array(~is_malformed_mask(t))), batch_format="pyarrow"
+    )
+
+    poison_key = valid.take(1)[0]["doc_id"]
+
+    def poison(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if pc.any(pc.equal(t["doc_id"], poison_key)).as_py():
+            _time.sleep(1.0)  # let sibling tasks write their files first
+            raise OSError("simulated mid-epoch worker failure")
+        return t
+
+    # small batches => many tasks => siblings complete before the poison
+    with pytest.raises(Exception):
+        lk.apply(valid.map_batches(poison, batch_format="pyarrow", batch_size=64),
+                 segs, batch_size=64)
+    assert lk.manifest()["epoch"] == epoch0  # commit point never reached
+    orphans = _glob.glob(os.path.join(lk.path, "state", "*", "*.parquet"))
+    assert orphans, "precondition: some state files were written mid-epoch"
+
+    # clean re-run commits exactly once and converges
+    r = lk.apply(valid, segs, batch_size=64)
+    assert r.get("noop") is not True
+    assert lk.manifest()["epoch"] == epoch0 + 1
+    assert_eq(collect(lk.read()), fold_events(base, all_events))
+    # idempotence: the same segments again are a no-op
+    assert lk.apply(valid, segs, batch_size=64).get("noop") is True
+
+    if mode == "l0":
+        # content-named rewrite: every file in the epoch dirs is referenced
+        # by the manifest (orphans were overwritten, never duplicated)
+        referenced = {e["file"] for e in lk.manifest().get("l0", [])}
+        for ent in lk.manifest()["partitions"].values():
+            b = ent.get("base")
+            if b:
+                referenced.add(b)
+            referenced.update(ent.get("deltas") or [])
+        on_disk = {
+            os.path.relpath(p, lk.path)
+            for p in _glob.glob(os.path.join(lk.path, "state", "*", "*.parquet"))
+        }
+        assert on_disk == referenced, (
+            f"orphan/duplicate run files: {sorted(on_disk - referenced)}"
+        )
