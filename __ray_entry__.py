@@ -322,6 +322,135 @@ def q_cdc_replay_tokens(sf_dir: str):
     return cdc_replay(sf_dir).sort("doc_id")
 
 
+def q_cdc_schema_evolution(sf_dir: str):
+    """Schema evolution THROUGH the exactly-once lake, driver-checkable:
+    generation-1 segments (even event_ids) carry (lsn, op, user_id,
+    event_type, cents:int32); generation-2 segments (odd event_ids) ADD
+    a column (channel:string) and WIDEN cents to int64 — the north
+    rule's column-add + type-widen contract on the real apply path. The
+    epochs are split so gen-1 fully commits (manifest schema has no
+    channel, cents is int32) before gen-2 arrives and evolves it; the
+    converged read is uniform (older winners null-fill channel, all
+    cents arrive int64). Oracle = the LWW window fold with a CASE for
+    the late column. Reference analog: present-only tag rules tolerate
+    absent/extra attributes (ClinicalTrialsAttributes.java rule
+    application; SURVEY §1.2)."""
+    import shutil
+    import uuid
+
+    from raycdc.lake import LakeTable
+    from raycdc.tailer import tail_until_caught_up
+
+    work = f"/tmp/raycdc_work/schema_evo_{uuid.uuid4().hex[:8]}"
+    log_dir = os.path.join(work, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    lsn = ev["event_id"].cast(pa.int64())
+    cents = pc.round(pc.multiply(ev["value"], 100.0))
+    base = pa.table(
+        {
+            "lsn": lsn,
+            "op": pa.array(["insert"] * ev.num_rows),
+            "user_id": ev["user_id"],
+            "event_type": ev["event_type"],
+        }
+    )
+    odd = pc.equal(pc.bit_wise_and(lsn, 1), 1)
+    gen1 = base.filter(pc.invert(odd)).append_column(
+        "cents", cents.cast(pa.int32()).filter(pc.invert(odd)).combine_chunks()
+    )
+    gen2 = (
+        base.filter(odd)
+        .append_column("cents", cents.cast(pa.int64()).filter(odd).combine_chunks())
+        .append_column(
+            "channel", pc.utf8_upper(ev["event_type"].filter(odd)).combine_chunks()
+        )
+    )
+    # segment names sort gen1 first; one epoch per generation so the
+    # manifest schema demonstrably evolves between commits
+    for gen_idx, gen in ((0, gen1), (1, gen2)):
+        step = (gen.num_rows + 1) // 2 or 1
+        for k in range(2):
+            seg = gen.slice(k * step, step)
+            if seg.num_rows:
+                pq.write_table(
+                    seg, os.path.join(log_dir, f"seg-{gen_idx}{k:04d}.parquet")
+                )
+
+    lake = LakeTable(os.path.join(work, "lake"), num_partitions=8, key="user_id")
+    lake.init()
+    tail_until_caught_up(lake, log_dir, max_segments_per_epoch=2)
+    out = lake.read(include_tombstones=True)
+
+    def emit(t: pa.Table) -> pa.Table:
+        return t.select(["user_id", "lsn", "event_type", "cents", "channel"])
+
+    res = out.map_batches(emit, batch_format="pyarrow").materialize()
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
+def q_cdc_resume_replay(sf_dir: str):
+    """Checkpoint-resume, driver-checkable: one LakeTable handle drains
+    HALF the changelog, is dropped (simulated crash / redeploy), and a
+    FRESH handle at the same path resumes from the manifest — the
+    durable consumer offset — to drain the rest. The converged state
+    must equal the one-shot replay, so the oracle is the same LWW window
+    fold as cdc_replay_events. Reference analog: NiFi resumes flows from
+    its FlowFile repository after restart; retry-by-requeue semantics of
+    PutDICOM.java:83-86."""
+    import shutil
+    import uuid
+
+    from raycdc.lake import LakeTable
+    from raycdc.tailer import tail_once, tail_until_caught_up
+
+    work = f"/tmp/raycdc_work/resume_{uuid.uuid4().hex[:8]}"
+    log_dir = os.path.join(work, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    ev = pa.table(
+        {
+            "lsn": ev["event_id"].cast(pa.int64()),
+            "op": pa.array(["insert"] * ev.num_rows),
+            "user_id": ev["user_id"],
+            "event_type": ev["event_type"],
+            "value": ev["value"],
+        }
+    )
+    n_seg = 6
+    step = (ev.num_rows + n_seg - 1) // n_seg or 1
+    for k in range(n_seg):
+        seg = ev.slice(k * step, step)
+        if seg.num_rows:
+            pq.write_table(seg, os.path.join(log_dir, f"seg-{k:05d}.parquet"))
+
+    lake_path = os.path.join(work, "lake")
+    first = LakeTable(lake_path, num_partitions=8, key="user_id")
+    first.init()
+    tail_once(first, log_dir, max_segments_per_epoch=3)
+    del first  # handle dropped mid-log: manifest holds epoch 1 + offsets
+
+    resumed = LakeTable(lake_path, num_partitions=8, key="user_id")
+    resumed.init()  # idempotent bootstrap — attaches, never clobbers
+    tail_until_caught_up(resumed, log_dir, max_segments_per_epoch=3)
+    out = resumed.read(include_tombstones=True)
+
+    def emit(t: pa.Table) -> pa.Table:
+        t = t.select(["user_id", "lsn", "event_type", "value"])
+        return t.set_column(3, "value", pc.round(t["value"], 2))
+
+    res = out.map_batches(emit, batch_format="pyarrow").materialize()
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 # --------------------------------------------------------------- relational
 def q_q1_lineitem(sf_dir: str):
     """Pre-aggregated grouped sums (the partial/combiner pattern)."""
@@ -1025,6 +1154,15 @@ def q_text_quality(sf_dir: str):
         lambda t: t.select(["doc_id", "stop_ratio", "mean_word_len", "punct_ratio", "quality"]),
         batch_format="pyarrow",
     )
+
+
+def q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition quality screen (Rae et al. 2021 §A1.1):
+    per-doc duplicate-word fraction + top-word occupancy + keep flag.
+    Doc-local map-only stage; oracle = the word-unnest GROUP BY."""
+    from raycdc.extras.text import repetition_scores
+
+    return repetition_scores(_docs(sf_dir))
 
 
 def q_knn_ivf(sf_dir: str):
@@ -3590,6 +3728,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- flagship (keep permanently in the window) --
         "cdc_replay_events": q_cdc_replay_events,
         "cdc_replay_tokens": q_cdc_replay_tokens,
+        # -- new in round 4: north-rule contracts made driver-checkable --
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_resume_replay": q_cdc_resume_replay,
         # -- oracles fixed this round (HUGEINT cast): must re-prove --
         "events_hourly_window": q_events_hourly_window,
         "events_hopping_window": q_events_hopping_window,
@@ -3635,6 +3776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_outlier_filter": q_docs_outlier_filter,
         "docs_winsorize": q_docs_winsorize,
         "docs_split": q_docs_split,
+        "docs_repetition": q_docs_repetition,
         "events_impute_mean": q_events_impute_mean,
         # -- TPC-H compositions --
         "q3_unshipped_orders": q3_unshipped_orders,
@@ -3642,11 +3784,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_revenue_delta": q6_revenue_delta,
         "q12_priority_by_flag": q12_priority_by_flag,
+        # ---- driver window ends here (50 entries above) ----
         "q13_customer_distribution": q13_customer_distribution,
+        # Never-driver-checked remainder (rotate into the window in r5):
         "q14_promo_share": q14_promo_share,
         "trending_types": q_trending_types,
-        # ---- driver window ends here (50 entries above) ----
-        # Never-driver-checked remainder (rotate into the window in r5):
         "embedding_centroids": q_embedding_centroids,
         "user_state_scd2": q_user_state_scd2,
         "user_merged_windows": q_user_merged_windows,
@@ -3864,6 +4006,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_replay_events": """
             SELECT user_id, event_id AS lsn, event_type, round(value, 2) AS value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1
+        """,
+        "cdc_resume_replay": """
+            SELECT user_id, event_id AS lsn, event_type, round(value, 2) AS value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1
+        """,
+        "cdc_schema_evolution": """
+            SELECT user_id, event_id AS lsn, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN event_id % 2 = 1 THEN upper(event_type) END AS channel
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
                   FROM events) t
             WHERE rn = 1
@@ -4584,6 +4740,24 @@ def oracle_sql() -> dict[str, str]:
                              IN ('e', 'f') THEN 'test'
                         ELSE 'train' END AS split
             FROM documents
+        """,
+        "docs_repetition": """
+            WITH w AS (SELECT doc_id, list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '') AS ws FROM documents),
+            u AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            c AS (SELECT doc_id, word, count(*) AS cnt FROM u GROUP BY doc_id, word),
+            a AS (SELECT doc_id,
+                         CAST(sum(cnt) AS BIGINT) AS n_words,
+                         CAST(count(*) AS BIGINT) AS n_distinct,
+                         CAST(max(cnt) AS BIGINT) AS max_cnt
+                  FROM c GROUP BY doc_id)
+            SELECT doc_id, n_words, n_distinct,
+                   1 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+                   CAST(max_cnt AS DOUBLE) / n_words AS top_word_frac,
+                   (1 - CAST(n_distinct AS DOUBLE) / n_words) <= 0.8
+                     AND CAST(max_cnt AS DOUBLE) / n_words <= 0.3 AS keep
+            FROM a
         """,
         "events_impute_mean": """
             WITH m AS (SELECT event_id, user_id,

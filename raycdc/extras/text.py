@@ -202,6 +202,71 @@ def top_words(
     return top_k(totals, by="n", k=k, descending=True, tiebreak="word")
 
 
+def repetition_scores(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_word_frac: float = 0.8,
+    max_top_word_frac: float = 0.3,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Gopher-style within-document repetition filter (Rae et al. 2021,
+    §A1.1 "repetition" rules, public): per document, the fraction of
+    duplicate word occurrences (``1 - n_distinct/n_words``) and the
+    fraction of occurrences taken by the single most frequent word;
+    ``keep`` flags documents under both thresholds. The classic
+    pre-training curation screen for degenerate/boilerplate text.
+
+    Shape: doc-local → map-only, no shuffle. Per batch, ONE vectorized
+    polars pass (lowercase → ``extract_all`` → explode → two group_bys
+    over the batch's (doc, word) pairs); emits one row per document with
+    ≥1 token (token-free docs have no defined ratios and match the SQL
+    oracle's ``GROUP BY`` over the unnested words). Scale-safe at 100 TB:
+    output is one scalar row per doc, state is batch-bounded.
+    """
+    import polars as pl
+
+    def rep(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([id_col, text_col]))
+        ex = (
+            df.with_columns(
+                pl.col(text_col).str.to_lowercase()
+                .str.extract_all(WORD_PATTERN).alias("ws"))
+            .select(id_col, "ws")
+            .explode("ws")
+            .drop_nulls("ws")
+        )
+        per = ex.group_by(id_col, "ws").agg(pl.len().alias("cnt"))
+        agg = per.group_by(id_col).agg(
+            pl.col("cnt").sum().cast(pl.Int64).alias("n_words"),
+            pl.len().cast(pl.Int64).alias("n_distinct"),
+            pl.col("cnt").max().cast(pl.Int64).alias("max_cnt"),
+        )
+        agg = agg.with_columns(
+            (1.0 - pl.col("n_distinct") / pl.col("n_words")).alias("dup_word_frac"),
+            (pl.col("max_cnt") / pl.col("n_words")).alias("top_word_frac"),
+        ).with_columns(
+            (
+                (pl.col("dup_word_frac") <= max_dup_word_frac)
+                & (pl.col("top_word_frac") <= max_top_word_frac)
+            ).alias("keep")
+        ).drop("max_cnt")
+        return agg.to_arrow().cast(
+            pa.schema(
+                [
+                    (id_col, t.schema.field(id_col).type),
+                    ("n_words", pa.int64()),
+                    ("n_distinct", pa.int64()),
+                    ("dup_word_frac", pa.float64()),
+                    ("top_word_frac", pa.float64()),
+                    ("keep", pa.bool_()),
+                ]
+            )
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow", batch_size=batch_size)
+
+
 def regex_extract(
     ds: "ray.data.Dataset",
     col: str,
