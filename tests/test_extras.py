@@ -859,3 +859,77 @@ def test_levenshtein_banded_matches_full_dp():
         in_band = full <= md
         assert (banded[in_band] == full[in_band]).all()
         assert (banded[~in_band] == md + 1).all()  # clamped, never under
+
+
+def test_repetition_scores_hand_checked():
+    """Gopher repetition screen: exact fractions on hand-built docs."""
+    from raycdc.extras.text import repetition_scores
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d",                # 4 words, 4 distinct: dup 0, top 1/4
+                    "spam spam spam eggs",    # 4 words, 2 distinct: dup .5, top 3/4
+                    "   ",                    # token-free: no output row
+                ]
+            ),
+        }
+    )
+    out = collect(repetition_scores(rd.from_arrow(t))).sort_by("doc_id")
+    assert out.num_rows == 2  # token-free doc drops (matches SQL GROUP BY)
+    assert out["n_words"].to_pylist() == [4, 4]
+    assert out["n_distinct"].to_pylist() == [4, 2]
+    assert out["dup_word_frac"].to_pylist() == [0.0, 0.5]
+    assert out["top_word_frac"].to_pylist() == [0.25, 0.75]
+    assert out["keep"].to_pylist() == [True, False]
+    assert out.schema.field("n_words").type == pa.int64()
+    assert out.schema.field("keep").type == pa.bool_()
+
+
+def test_decontaminate_hand_checked():
+    """Trigram overlap vs a broadcast eval set: exact fractions."""
+    from raycdc.extras.text import decontaminate
+
+    ev = pa.table(
+        {
+            "doc_id": pa.array([100], pa.int64()),
+            "text": pa.array(["alpha beta gamma delta"]),  # grams: abg, bgd
+        }
+    )
+    tr = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma epsilon",   # 2 grams, hit: 'alpha beta gamma'
+                    "zeta eta theta iota",        # 2 grams, 0 hits
+                    "xy zz",                      # <3 words: no grams, no row
+                ]
+            ),
+        }
+    )
+    out = collect(
+        decontaminate(rd.from_arrow(tr), rd.from_arrow(ev))
+    ).sort_by("doc_id")
+    assert out["doc_id"].to_pylist() == [1, 2]
+    assert out["n_grams"].to_pylist() == [2, 2]
+    assert out["n_hit"].to_pylist() == [1, 0]
+    assert out["overlap_frac"].to_pylist() == [0.5, 0.0]
+    assert out["contaminated"].to_pylist() == [True, False]
+    assert out.schema.field("n_hit").type == pa.int64()
+
+
+def test_decontaminate_eval_cap_raises():
+    from raycdc.extras.text import decontaminate
+
+    ev = pa.table(
+        {"doc_id": pa.array([1], pa.int64()),
+         "text": pa.array(["a b c d e f g h i j"])}  # 8 grams > cap 4
+    )
+    tr = pa.table({"doc_id": pa.array([2], pa.int64()),
+                   "text": pa.array(["a b c"])})
+    with pytest.raises(ValueError, match="max_eval_grams"):
+        collect(decontaminate(rd.from_arrow(tr), rd.from_arrow(ev),
+                              max_eval_grams=4))
