@@ -239,8 +239,19 @@ def run_scaling() -> dict:
         )
         return json.loads(p.stdout.strip().splitlines()[-1])
 
+    # Level selection: "8,32" (default) measures both levels; a single
+    # level (e.g. "32") adds samples for just that level to the durable
+    # pool. A MIN-per-level estimator is unbiased under asymmetric
+    # sampling — extra samples at one level only tighten that level's
+    # convergence to the engine floor — so clean-host phases can be
+    # spent on whichever level's minimum is still interference-bound
+    # (every sample is appended to the pool either way; the pooled
+    # efficiency below always uses both pooled minima).
+    levels = tuple(
+        int(x) for x in os.environ.get("RAYCDC_SCALING_LEVELS", "8,32").split(",")
+    )
     # warm-up generation pass (untimed, also primes the OS page cache)
-    one(8)
+    one(levels[0])
     # phase gate: this host has multi-minute phases where page population
     # runs 3-5x slower (BASELINE.md — the probe-vs-efficiency correlation
     # table). Measuring inside one is measuring the host, not the engine,
@@ -285,14 +296,15 @@ def run_scaling() -> dict:
     samples = []
     best = {8: None, 32: None}
     for _ in range(rounds):
-        for ncpu in (8, 32):
+        for ncpu in levels:
             r = one(ncpu)
             samples.append({"ncpu": ncpu, "sec": r["value"],
                             "n_events": r["n_events"]})
             if best[ncpu] is None or r["value"] < best[ncpu]["value"]:
                 best[ncpu] = r
     lo, hi = best[8], best[32]
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    any_run = lo or hi
+    eff = (lo["value"] / hi["value"]) / (32 / 8) if lo and hi else None
     pooled = dict(samples=samples)
     try:
         if os.path.exists(pool_path):
@@ -322,27 +334,30 @@ def run_scaling() -> dict:
     # measure_write_bandwidth — flat aggregate MB/s across levels), which
     # on a real N-node cluster scales WITH N (the L0 apply is map-only
     # with node-local writes and zero cross-node traffic).
-    w_cpu_s = (lo["value"] - hi["value"]) * 32 / 3
-    b_sec = max(0.0, hi["value"] - w_cpu_s / 32)
+    if lo and hi:
+        w_cpu_s = round((lo["value"] - hi["value"]) * 32 / 3, 1)
+        b_sec = round(max(0.0, hi["value"] - w_cpu_s / 32), 2)
+    else:
+        w_cpu_s = b_sec = None
     bw8 = measure_write_bandwidth(8)
     bw32 = measure_write_bandwidth(32)
     ab8 = measure_alloc_bandwidth(8)
     ab32 = measure_alloc_bandwidth(32)
     return {
         "metric": "cdc_replay_scaling",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "events_per_sec_8": lo["events_per_sec"],
-        "events_per_sec_32": hi["events_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "cpu_work_cpu_sec": round(w_cpu_s, 1),
-        "unscalable_sec": round(b_sec, 2),
+        "sec_8": lo["value"] if lo else None,
+        "sec_32": hi["value"] if hi else None,
+        "events_per_sec_8": lo["events_per_sec"] if lo else None,
+        "events_per_sec_32": hi["events_per_sec"] if hi else None,
+        "scaling_efficiency": round(eff, 3) if eff is not None else None,
+        "cpu_work_cpu_sec": w_cpu_s,
+        "unscalable_sec": b_sec,
         "host_write_bw_mb_s_8cpu": bw8,
         "host_write_bw_mb_s_32cpu": bw32,
         "host_alloc_bw_mb_s_8cpu": ab8,
         "host_alloc_bw_mb_s_32cpu": ab32,
-        "sf": lo["sf"],
-        "n_events": lo["n_events"],
+        "sf": any_run["sf"],
+        "n_events": any_run["n_events"],
         "rounds": rounds,
         "phase_gate_bw_mb_s": gate_bw,
         "phase_gate_alloc_mb_s": gate_ab,
