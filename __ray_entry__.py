@@ -1183,6 +1183,34 @@ def q_docs_decontaminate(sf_dir: str):
     return decontaminate(tr, ev)
 
 
+def q_text_curation_full(sf_dir: str):
+    """The full public curation recipe as ONE streaming pipeline under
+    ONE oracle: Gopher repetition filter → benchmark decontamination
+    (eval = doc_id % 20 == 0, removed from the corpus) → language-ID →
+    quality filter → exact first-writer dedup. Every stage is map-only
+    except the final dedup's bounded bucket groupby; the decontamination
+    side-set is broadcast once."""
+    from raycdc.extras.text import decontaminate, repetition_scores
+    from raycdc.pipelines import curate_text
+
+    def part(keep_eval: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = np.asarray(t["doc_id"].combine_chunks()) % 20 == 0
+            return t.filter(pa.array(m if keep_eval else ~m))
+
+        return fn
+
+    ev = _docs(sf_dir).map_batches(part(True), batch_format="pyarrow")
+    tr = _docs(sf_dir).map_batches(part(False), batch_format="pyarrow")
+    tr = repetition_scores(tr, emit="filter")
+    tr = decontaminate(tr, ev, emit="filter")
+    out = curate_text(tr, lang="en", min_quality=0.5, dedup=True)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang_pred", "quality"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF ANN: k-means coarse quantizer + nprobe pruned scan (approximate
     → rows-only check; exactness vs brute is pytest-gated)."""
@@ -3796,13 +3824,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": q_docs_split,
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
+        "text_curation_full": q_text_curation_full,
         "events_impute_mean": q_events_impute_mean,
         # -- TPC-H compositions --
         "q3_unshipped_orders": q3_unshipped_orders,
         "q4_order_priority": q4_order_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_revenue_delta": q6_revenue_delta,
         # ---- driver window ends here (50 entries above) ----
+        "q6_revenue_delta": q6_revenue_delta,
         "q12_priority_by_flag": q12_priority_by_flag,
         "q13_customer_distribution": q13_customer_distribution,
         # Never-driver-checked remainder (rotate into the window in r5):
@@ -3991,10 +4020,48 @@ def oracle_sql() -> dict[str, str]:
         WHERE l.lang_pred = 'en' AND q.quality >= 0.5
         QUALIFY row_number() OVER (PARTITION BY md5(l.text) ORDER BY l.doc_id) = 1
     """
+    curation_full_sql = f"""
+        WITH w AS (SELECT doc_id, list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS ws FROM documents),
+             u AS (SELECT doc_id, unnest(ws) AS word FROM w),
+             cx AS (SELECT doc_id, word, count(*) AS cnt FROM u
+                    GROUP BY doc_id, word),
+             repa AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+                             CAST(count(*) AS BIGINT) AS n_distinct,
+                             CAST(max(cnt) AS BIGINT) AS max_cnt
+                      FROM cx GROUP BY doc_id),
+             repk AS (SELECT doc_id FROM repa
+                      WHERE 1 - CAST(n_distinct AS DOUBLE) / n_words <= 0.8
+                        AND CAST(max_cnt AS DOUBLE) / n_words <= 0.3),
+             gi AS (SELECT doc_id, ws,
+                           unnest(generate_series(1, greatest(0, len(ws) - 2))) AS i
+                    FROM w),
+             g AS (SELECT DISTINCT doc_id,
+                          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+                   FROM gi),
+             dirty AS (SELECT DISTINCT doc_id FROM g
+                       WHERE doc_id % 20 <> 0
+                         AND gram IN (SELECT gram FROM g WHERE doc_id % 20 = 0)),
+             surv AS (SELECT doc_id FROM documents
+                      WHERE doc_id % 20 <> 0
+                        AND doc_id IN (SELECT doc_id FROM repk)
+                        AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+             lc AS (SELECT doc_id, text, {lang_counts} FROM documents
+                    WHERE doc_id IN (SELECT doc_id FROM surv)),
+             l AS (SELECT doc_id, text, {lang_pred_case} AS lang_pred FROM lc),
+             f AS ({quality_features}),
+             q AS (SELECT doc_id, {quality_expr} AS quality FROM f)
+        SELECT l.doc_id, l.lang_pred, q.quality
+        FROM l JOIN q ON q.doc_id = l.doc_id
+        WHERE l.lang_pred = 'en' AND q.quality >= 0.5
+        QUALIFY row_number() OVER (PARTITION BY md5(l.text) ORDER BY l.doc_id) = 1
+    """
     return {
         "lang_id": lang_sql,
         "text_quality": quality_sql,
         "text_curation": curation_sql,
+        "text_curation_full": curation_full_sql,
         "cdc_lww_latest": """
             SELECT user_id, event_id AS lsn, event_type, round(value, 2) AS value
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

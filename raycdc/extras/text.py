@@ -209,6 +209,7 @@ def repetition_scores(
     max_dup_word_frac: float = 0.8,
     max_top_word_frac: float = 0.3,
     batch_size: int = 256,
+    emit: str = "scores",
 ) -> ray.data.Dataset:
     """Gopher-style within-document repetition filter (Rae et al. 2021,
     §A1.1 "repetition" rules, public): per document, the fraction of
@@ -223,8 +224,15 @@ def repetition_scores(
     ≥1 token (token-free docs have no defined ratios and match the SQL
     oracle's ``GROUP BY`` over the unnested words). Scale-safe at 100 TB:
     output is one scalar row per doc, state is batch-bounded.
+
+    ``emit="filter"`` returns the ORIGINAL rows (all columns) of
+    documents that pass both thresholds instead of the score table —
+    the in-pipeline curation-stage form (token-free docs drop).
     """
     import polars as pl
+
+    if emit not in ("scores", "filter"):
+        raise ValueError("emit must be 'scores' or 'filter'")
 
     def rep(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t.select([id_col, text_col]))
@@ -264,7 +272,38 @@ def repetition_scores(
             )
         )
 
-    return ds.map_batches(rep, batch_format="pyarrow", batch_size=batch_size)
+    def rep_filter(t: pa.Table) -> pa.Table:
+        # row-index keyed (no uniqueness assumption on id_col): same
+        # metrics, but emit the surviving ORIGINAL rows
+        s = pl.Series(
+            "w", pl.from_arrow(t.column(text_col).cast(pa.string()).combine_chunks())
+        ).str.to_lowercase()
+        ex = (
+            pl.DataFrame({"ws": s.str.extract_all(WORD_PATTERN)})
+            .with_row_index("_ri")
+            .explode("ws")
+            .drop_nulls("ws")
+        )
+        per = ex.group_by("_ri", "ws").agg(pl.len().alias("cnt"))
+        agg = per.group_by("_ri").agg(
+            pl.col("cnt").sum().alias("n_words"),
+            pl.len().alias("n_distinct"),
+            pl.col("cnt").max().alias("max_cnt"),
+        )
+        keep_ri = (
+            agg.filter(
+                ((1.0 - pl.col("n_distinct") / pl.col("n_words"))
+                 <= max_dup_word_frac)
+                & ((pl.col("max_cnt") / pl.col("n_words"))
+                   <= max_top_word_frac)
+            )
+            .sort("_ri")["_ri"]
+            .to_numpy()
+        )
+        return t.take(pa.array(keep_ri.astype(np.int64)))
+
+    fn = rep if emit == "scores" else rep_filter
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 def regex_extract(
@@ -485,9 +524,16 @@ def decontaminate(
     n: int = 3,
     batch_size: int = 256,
     max_eval_grams: int = 50_000_000,
+    emit: str = "scores",
 ) -> "ray.data.Dataset":
     """Benchmark decontamination (the public GPT-3/PaLM appendix method:
     flag training documents sharing word n-grams with an eval set).
+
+    ``emit="filter"`` returns the ORIGINAL rows (all columns) of clean
+    documents instead of the score table — the in-pipeline curation
+    stage. Documents with fewer than ``n`` words have no grams, cannot
+    be contaminated, and are KEPT in filter mode (they simply have no
+    row in scores mode).
 
     Two-sided broadcast shape — the scale contract:
 
@@ -597,7 +643,24 @@ def decontaminate(
                 }
             )
 
-    return ds.map_batches(Overlap, batch_format="pyarrow",
+    class OverlapFilter:
+        def __init__(self):
+            self.eval_set = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            gram, doc_of = doc_grams(t)
+            if len(gram) == 0:
+                return t  # no grams in the batch: nothing can be dirty
+            hit = pl.Series(pl.from_arrow(gram)).is_in(self.eval_set).to_numpy()
+            dirty_rows = np.unique(doc_of[hit])
+            keep = np.ones(t.num_rows, dtype=bool)
+            keep[dirty_rows] = False
+            return t.filter(pa.array(keep))
+
+    if emit not in ("scores", "filter"):
+        raise ValueError("emit must be 'scores' or 'filter'")
+    cls = Overlap if emit == "scores" else OverlapFilter
+    return ds.map_batches(cls, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=(1, 4))
 
 

@@ -933,3 +933,31 @@ def test_decontaminate_eval_cap_raises():
     with pytest.raises(ValueError, match="max_eval_grams"):
         collect(decontaminate(rd.from_arrow(tr), rd.from_arrow(ev),
                               max_eval_grams=4))
+
+
+def test_repetition_and_decontaminate_filter_mode():
+    """emit='filter' returns surviving original rows, all columns."""
+    from raycdc.extras.text import decontaminate, repetition_scores
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["spam spam spam eggs",        # fails repetition (top .75)
+                 "alpha beta gamma epsilon",   # contaminated vs eval below
+                 "zeta eta theta iota"]        # clean
+            ),
+            "extra": pa.array(["a", "b", "c"]),
+        }
+    )
+    kept = collect(repetition_scores(rd.from_arrow(t), emit="filter"))
+    assert kept["doc_id"].to_pylist() == [2, 3]
+    assert kept.column_names == ["doc_id", "text", "extra"]
+
+    ev = pa.table({"doc_id": pa.array([9], pa.int64()),
+                   "text": pa.array(["alpha beta gamma delta"])})
+    clean = collect(
+        decontaminate(rd.from_arrow(kept), rd.from_arrow(ev), emit="filter")
+    )
+    assert clean["doc_id"].to_pylist() == [3]
+    assert clean.column_names == ["doc_id", "text", "extra"]
