@@ -247,9 +247,15 @@ def run_scaling() -> dict:
     # spent on whichever level's minimum is still interference-bound
     # (every sample is appended to the pool either way; the pooled
     # efficiency below always uses both pooled minima).
+    # Any N,4N pair is a valid instantiation of the north rule's
+    # two-cluster-size criterion (BASELINE.json: "e.g. num_cpus=8 vs 32,
+    # or N and 4N") — "4,16" measures the same engine scaling while
+    # sidestepping this host's documented 32-way allocation anti-scaling
+    # (BASELINE.md environment caveat); report both.
     levels = tuple(
         int(x) for x in os.environ.get("RAYCDC_SCALING_LEVELS", "8,32").split(",")
     )
+    lo_n, hi_n = min(levels), max(levels)
     # warm-up generation pass (untimed, also primes the OS page cache)
     one(levels[0])
     # phase gate: this host has multi-minute phases where page population
@@ -293,18 +299,34 @@ def run_scaling() -> dict:
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_artifacts", "scaling_samples.jsonl"))
     os.makedirs(os.path.dirname(pool_path), exist_ok=True)
+    # RAYCDC_SCALING_GATE_EACH=1 re-probes the host phase before EVERY
+    # sample (not just once up front) and waits out degraded windows —
+    # for long unattended runs where the phase drifts mid-run (it does:
+    # round-5 run #1 gated clean at launch, sampled at 885 MB/s).
+    gate_each = os.environ.get("RAYCDC_SCALING_GATE_EACH", "") == "1"
     samples = []
-    best = {8: None, 32: None}
+    best = {n: None for n in levels}
     for _ in range(rounds):
         for ncpu in levels:
+            if gate_each:
+                g = measure_alloc_bandwidth(32)
+                while g < alloc_thr and waited < max_wait_s:
+                    print(f"[phase-gate:each] 32-way alloc {g} MB/s "
+                          f"(need {alloc_thr}); waiting", file=sys.stderr)
+                    time.sleep(60)
+                    waited += 60
+                    g = measure_alloc_bandwidth(32)
+                gate_ab = g
             r = one(ncpu)
             samples.append({"ncpu": ncpu, "sec": r["value"],
                             "n_events": r["n_events"]})
             if best[ncpu] is None or r["value"] < best[ncpu]["value"]:
                 best[ncpu] = r
-    lo, hi = best[8], best[32]
+    lo, hi = best.get(lo_n), best.get(hi_n)
+    if lo_n == hi_n:
+        hi = None
     any_run = lo or hi
-    eff = (lo["value"] / hi["value"]) / (32 / 8) if lo and hi else None
+    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n) if lo and hi else None
     pooled = dict(samples=samples)
     try:
         if os.path.exists(pool_path):
@@ -318,15 +340,24 @@ def run_scaling() -> dict:
         with open(pool_path, "a") as f:
             for s in samples:
                 f.write(json.dumps(s) + "\n")
-        p8 = min(s["sec"] for s in allsamp if s["ncpu"] == 8)
-        p32 = min(s["sec"] for s in allsamp if s["ncpu"] == 32)
+        # a single-level run on a young pool may lack samples for the
+        # other level — report whatever pooled minima exist (a min over
+        # an empty set is None, not a crash). Minima are per (level,
+        # preset); the efficiency divisor is this run's level ratio.
+        s_lo = [s["sec"] for s in allsamp if s["ncpu"] == lo_n]
+        s_hi = [s["sec"] for s in allsamp if s["ncpu"] == hi_n]
+        p_lo = min(s_lo) if s_lo else None
+        p_hi = min(s_hi) if s_hi else None
         pooled = {
-            "pooled_sec_8": p8,
-            "pooled_sec_32": p32,
-            "pooled_scaling_efficiency": round((p8 / p32) / 4, 3),
+            f"pooled_sec_{lo_n}": p_lo,
+            f"pooled_sec_{hi_n}": p_hi,
+            "pooled_scaling_efficiency": (
+                round((p_lo / p_hi) / (hi_n / lo_n), 3)
+                if p_lo and p_hi and lo_n != hi_n else None
+            ),
             "pooled_samples": len(allsamp),
         }
-    except OSError:
+    except (OSError, ValueError):
         pooled = {}
     # two-point decomposition t(c) = B + W/c: W = CPU-scalable work,
     # B = the c-independent term. On THIS sandbox B is dominated by the
@@ -335,27 +366,33 @@ def run_scaling() -> dict:
     # on a real N-node cluster scales WITH N (the L0 apply is map-only
     # with node-local writes and zero cross-node traffic).
     if lo and hi:
-        w_cpu_s = round((lo["value"] - hi["value"]) * 32 / 3, 1)
-        b_sec = round(max(0.0, hi["value"] - w_cpu_s / 32), 2)
+        # solve t = B + W/c from the two levels (c = lo_n, hi_n)
+        w_cpu_s = round(
+            (lo["value"] - hi["value"]) / (1.0 / lo_n - 1.0 / hi_n), 1
+        )
+        b_sec = round(max(0.0, hi["value"] - w_cpu_s / hi_n), 2)
     else:
         w_cpu_s = b_sec = None
-    bw8 = measure_write_bandwidth(8)
-    bw32 = measure_write_bandwidth(32)
-    ab8 = measure_alloc_bandwidth(8)
-    ab32 = measure_alloc_bandwidth(32)
+    bw_lo = measure_write_bandwidth(lo_n)
+    bw_hi = measure_write_bandwidth(hi_n)
+    ab_lo = measure_alloc_bandwidth(lo_n)
+    ab_hi = measure_alloc_bandwidth(hi_n)
+    per_level = {}
+    for n, r in ((lo_n, lo), (hi_n, hi)):
+        if r is not None:
+            per_level[f"sec_{n}"] = r["value"]
+            per_level[f"events_per_sec_{n}"] = r["events_per_sec"]
     return {
         "metric": "cdc_replay_scaling",
-        "sec_8": lo["value"] if lo else None,
-        "sec_32": hi["value"] if hi else None,
-        "events_per_sec_8": lo["events_per_sec"] if lo else None,
-        "events_per_sec_32": hi["events_per_sec"] if hi else None,
+        "levels": list(levels),
+        **per_level,
         "scaling_efficiency": round(eff, 3) if eff is not None else None,
         "cpu_work_cpu_sec": w_cpu_s,
         "unscalable_sec": b_sec,
-        "host_write_bw_mb_s_8cpu": bw8,
-        "host_write_bw_mb_s_32cpu": bw32,
-        "host_alloc_bw_mb_s_8cpu": ab8,
-        "host_alloc_bw_mb_s_32cpu": ab32,
+        f"host_write_bw_mb_s_{lo_n}cpu": bw_lo,
+        f"host_write_bw_mb_s_{hi_n}cpu": bw_hi,
+        f"host_alloc_bw_mb_s_{lo_n}cpu": ab_lo,
+        f"host_alloc_bw_mb_s_{hi_n}cpu": ab_hi,
         "sf": any_run["sf"],
         "n_events": any_run["n_events"],
         "rounds": rounds,

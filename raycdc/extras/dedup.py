@@ -17,7 +17,6 @@ Scale shapes (ray_guide "Near-dup (MinHash-LSH)"):
 from __future__ import annotations
 
 import hashlib
-import itertools
 import re
 
 import numpy as np
@@ -33,6 +32,19 @@ _MERSENNE = (1 << 61) - 1
 
 def _md5_col(values) -> list[str]:
     return [hashlib.md5((v or "").encode()).hexdigest() for v in values]
+
+
+def _segment_gather(vals: np.ndarray, off: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a ListArray's (values, offsets) into one contiguous array of
+    per-row segments plus the per-row lengths — safe for sliced arrays
+    whose offsets don't start at 0 or don't tile the values buffer."""
+    lens = np.diff(off)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, vals.dtype), lens
+    starts = np.repeat(off[:-1], lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+    return vals[starts + within], lens
 
 
 def _content_key(t: pa.Table, text_col: str, kernel: str) -> pa.Array:
@@ -235,17 +247,20 @@ def candidate_pairs_from_bands(
         empty = pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
         if g.num_rows < 2:
             return empty
-        ids = sorted(set(g[id_col].to_pylist()))
+        ids = pc.unique(g[id_col].combine_chunks())
+        ids = ids.take(pc.sort_indices(ids))
         if len(ids) > max_bucket:
             if metrics_name is not None:
                 from raycdc.metrics import Metrics
 
                 Metrics(metrics_name).incr("minhash_bucket_truncated", len(ids) - max_bucket)
-            ids = ids[:max_bucket]
+            ids = ids.slice(0, max_bucket)
         if len(ids) < 2:
             return empty
-        out_a, out_b = zip(*itertools.combinations(ids, 2))
-        return pa.table({"id_a": pa.array(out_a, id_type), "id_b": pa.array(out_b, id_type)})
+        # all C(m,2) index pairs in one kernel + two Arrow takes — no
+        # Python loop over combinations
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": ids.take(pa.array(ia)), "id_b": ids.take(pa.array(ib))})
 
     cand = banded.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pyarrow")
     return _dedup_pair_rows(cand)
@@ -329,14 +344,25 @@ def verify_jaccard_pairs_ds(
         oa = np.asarray(a.offsets, dtype=np.int64)
         fb = b.values.to_numpy(zero_copy_only=False).view(np.uint64)
         ob = np.asarray(b.offsets, dtype=np.int64)
-        js = np.empty(n, dtype=np.float64)
-        for i in range(n):  # one iteration per candidate PAIR, never per doc
-            sa, sb = fa[oa[i]:oa[i + 1]], fb[ob[i]:ob[i + 1]]
-            if not len(sa) and not len(sb):
-                js[i] = 1.0
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            js[i] = inter / max(1, len(sa) + len(sb) - inter)
+        # vectorized across ALL pairs (no per-pair Python loop): each
+        # side's gram set is unique per doc, so |A∩B| = |A|+|B|−|A∪B|
+        # and |A∪B| is a per-pair DISTINCT count — one lexsort of the
+        # tagged (pair, gram) stream, then count segment boundaries.
+        va, la = _segment_gather(fa, oa)
+        vb, lb = _segment_gather(fb, ob)
+        p_all = np.concatenate([np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)])
+        g_all = np.concatenate([va, vb])
+        order = np.lexsort((g_all, p_all))
+        ps, gs = p_all[order], g_all[order]
+        if len(ps):
+            first = np.empty(len(ps), dtype=bool)
+            first[0] = True
+            first[1:] = (ps[1:] != ps[:-1]) | (gs[1:] != gs[:-1])
+            union = np.bincount(ps[first], minlength=n).astype(np.int64)
+        else:
+            union = np.zeros(n, dtype=np.int64)
+        inter = la + lb - union
+        js = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
         keep = js >= threshold
         mask = pa.array(keep)
         return pa.table({

@@ -137,6 +137,30 @@ def register_decoder(codec: str, fn) -> None:
     DECODERS[codec] = fn
 
 
+def register_pil_codecs() -> bool:
+    """Wire jpeg/png (and anything else PIL reads) into the registry when
+    Pillow is importable; returns whether it was. Called once at import —
+    in containers with an image library the real path covers compressed
+    formats with zero code changes (the reference's bulk-payload analog:
+    ``AttributeList.java:1263-1315`` read-without-decompress)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return False
+    import io
+
+    def _pil_decode(data: bytes) -> np.ndarray:
+        with Image.open(io.BytesIO(bytes(data))) as im:
+            return np.asarray(im.convert("RGB"))
+
+    for codec in ("jpeg", "jpg", "png", "gif", "webp", "tiff"):
+        DECODERS[codec] = _pil_decode
+    return True
+
+
+HAVE_PIL = register_pil_codecs()
+
+
 def _no_decoder(codec: str):
     return NotImplementedError(
         f"no registered decoder for codec {codec!r}: real decode requires an "
@@ -185,6 +209,97 @@ def attach_fake_media(ds: ray.data.Dataset, id_col: str = "doc_id", kind: str = 
         )
 
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+
+
+def attach_gradient_media(ds: ray.data.Dataset, id_col: str = "doc_id",
+                          codec: str = "bmp") -> ray.data.Dataset:
+    """Synthesize REAL encoded images whose pixel values are a closed-form
+    function of the row id — ``pix[y, x, c] = s_c + x`` with
+    ``s_c = md5_byte(id, 2+c) % 128`` and ``w/h = 16 + md5_byte(id,
+    0/1) % 64`` (no uint8 wrap: 127 + 79 < 256) — so a SQL oracle can
+    recompute every per-image statistic from ``md5(doc_id)`` alone while
+    the engine must actually DECODE the bytes to reproduce them. This is
+    what makes the multimodal decode path oracle-checkable."""
+
+    enc = {"ppm": encode_ppm, "bmp": encode_bmp}[codec]
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = [str(v) for v in t[id_col].to_pylist()]
+        payloads, metas = [], []
+        for i in ids:
+            seed = hashlib.md5(i.encode()).digest()
+            w, h = 16 + seed[0] % 64, 16 + seed[1] % 64
+            s = np.array([seed[2] % 128, seed[3] % 128, seed[4] % 128], dtype=np.uint8)
+            pix = (s[None, None, :] + np.arange(w, dtype=np.uint8)[None, :, None]
+                   ) * np.ones((h, 1, 1), dtype=np.uint8)
+            payloads.append(enc(pix))
+            metas.append({"width": w, "height": h, "sample_rate": 16000,
+                          "n_frames": 1, "codec": codec})
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "kind": pa.array(["image"] * len(ids)),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+
+
+class MediaStats:
+    """Actor-pool REAL-decode statistics stage: decode every payload via
+    the codec registry, accumulate exact integer channel sums from the
+    pixels, and emit (width, height, sum/mean per channel). Dimensions
+    come from the DECODED array (not the meta column), so a green oracle
+    proves the bytes were truly decoded. Integer sums + float64 means of
+    half-integer values are bit-exact against the SQL closed form."""
+
+    def __init__(self, decoders: dict | None = None):
+        self.decoders = dict(DECODERS) if decoders is None else dict(decoders)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codecs = [m["codec"] for m in batch["meta"].to_pylist()]
+        ws, hs, sums = [], [], []
+        for payload, codec in zip(batch["payload"].to_pylist(), codecs):
+            dec = self.decoders.get(codec)
+            if dec is None:
+                raise _no_decoder(codec)
+            pix = dec(bytes(payload))
+            hs.append(pix.shape[0])
+            ws.append(pix.shape[1])
+            sums.append(pix.astype(np.int64).sum(axis=(0, 1)))
+        s = np.array(sums, dtype=np.int64).reshape(len(ws), 3)
+        w = np.array(ws, dtype=np.int64)
+        h = np.array(hs, dtype=np.int64)
+        n = (w * h).astype(np.float64)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(w, pa.int64()),
+                "height": pa.array(h, pa.int64()),
+                "sum_r": pa.array(s[:, 0], pa.int64()),
+                "sum_g": pa.array(s[:, 1], pa.int64()),
+                "sum_b": pa.array(s[:, 2], pa.int64()),
+                "mean_r": pa.array(s[:, 0] / n, pa.float64()),
+                "mean_g": pa.array(s[:, 1] / n, pa.float64()),
+                "mean_b": pa.array(s[:, 2] / n, pa.float64()),
+            }
+        )
+
+
+def media_stats(ds: ray.data.Dataset, concurrency: int | tuple[int, int] = (1, 4),
+                batch_size: int = 128) -> ray.data.Dataset:
+    """Gradient-media → real-decode → per-image exact channel stats (the
+    oracle-checkable multimodal pipeline; see attach_gradient_media)."""
+    return ds.map_batches(
+        MediaStats,
+        fn_constructor_kwargs={"decoders": dict(DECODERS)},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
 
 
 class DecodeImage:

@@ -37,11 +37,15 @@ def knn_brute(
     k: int = 10,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 4096,
 ) -> ray.data.Dataset:
     """Exact cosine top-k: per-batch matmul vs broadcast query + local
-    prune, tiny global sort-limit. ``query`` may be (d,) or (q, d)."""
+    prune, tiny global sort-limit. ``query`` may be (d,) or (q, d).
+
+    ``concurrency=None`` (default) = autoscaling (1, 4) actor pool on the
+    large-query path, unbounded task pool on the small-query path; an
+    explicit value bounds BOTH paths (task pools take the tuple's max)."""
     q = np.atleast_2d(np.asarray(query, dtype=np.float64))
     q = _normalize(q)
 
@@ -81,11 +85,19 @@ def knn_brute(
                 return score_against(self.q, t)
 
         scored = ds.map_batches(Score, batch_format="pyarrow", batch_size=batch_size,
-                                concurrency=concurrency)  # autoscaling pool: see module note
+                                concurrency=concurrency or (1, 4))  # autoscaling pool: see module note
     else:
+        # task pools take an int cap, not an autoscaling tuple — honor a
+        # caller-supplied bound with the tuple's max; None = unbounded
+        task_cc = (
+            None if concurrency is None
+            else concurrency if isinstance(concurrency, int)
+            else max(concurrency)
+        )
         scored = ds.map_batches(
             lambda t: score_against(q, t),
             batch_format="pyarrow", batch_size=batch_size,
+            concurrency=task_cc,
         )
 
     # final reduce: the candidate set is ≤ k × n_batches × n_queries rows

@@ -23,7 +23,6 @@ import hashlib
 import uuid
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -42,7 +41,8 @@ def pseudo_id(values) -> pa.Array:
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         values = values.to_pylist()
     return pa.array(
-        [None if v is None else "anon-" + hashlib.md5(v.encode()).hexdigest()[:16] for v in values]
+        [None if v is None else "anon-" + hashlib.md5(v.encode()).hexdigest()[:16] for v in values],
+        type=pa.string(),
     )
 
 
@@ -100,8 +100,11 @@ class IdentitySubstitute:
     """Actor-pool stage: substitute identities from a broadcast map.
 
     ``__init__`` runs once per actor and pulls the broadcast side table
-    out of the object store (broadcast hash join, small side). Per batch
-    (``__call__``) the lookup is a vectorized pandas ``map``.
+    out of the object store (broadcast hash join, small side), laying it
+    out as parallel Arrow arrays. Per batch (``__call__``) the lookup is
+    ``pc.index_in`` (Arrow's vectorized hash probe) + ``take`` +
+    ``if_else`` — zero pandas/object-dtype round-trips on the flagship
+    deid path (every byte stays in Arrow buffers).
 
     Routing (3-way, reference ``DeidentifyDICOM.java:220-234``):
     * matched            → substitute ``doc_id`` (and ``source`` if mapped)
@@ -112,41 +115,45 @@ class IdentitySubstitute:
 
     def __init__(self, map_ref, generate_unmatched: bool = True, key: str = "doc_id"):
         m = ray.get(map_ref) if isinstance(map_ref, ray.ObjectRef) else map_ref
-        self.new_id = pd.Series({k: v[0] for k, v in m.items()}, dtype=object)
-        self.new_source = pd.Series(
-            {k: v[1] for k, v in m.items() if v[1] is not None}, dtype=object
-        )
+        # side table as parallel Arrow arrays: probe with pc.index_in,
+        # fetch with take — a null new_* value stays "no substitution"
+        # (same semantics the old pandas map had via NaN)
+        self.map_keys = pa.array(list(m.keys()), type=pa.string())
+        self.map_new_id = pa.array([v[0] for v in m.values()], type=pa.string())
+        self.map_new_source = pa.array([v[1] for v in m.values()], type=pa.string())
         self.generate_unmatched = generate_unmatched
         self.key = key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch[self.key].to_pandas().astype(object)
-        mapped = keys.map(self.new_id)
-        matched = mapped.notna().to_numpy()
+        keys = batch[self.key]
+        pos = pc.index_in(keys, value_set=self.map_keys)
+        mapped = pc.take(self.map_new_id, pos)
+        matched = pc.is_valid(mapped)
         if self.generate_unmatched:
-            pseudo = np.asarray(pseudo_id(batch[self.key]))
-            new_ids = np.where(matched, mapped.to_numpy(dtype=object), pseudo)
-            route = np.full(len(keys), ROUTE_OK, dtype=object)
+            new_ids = pc.if_else(matched, mapped, pseudo_id(keys))
+            route = pa.array(np.full(len(batch), ROUTE_OK), type=pa.string())
         else:
-            new_ids = np.where(matched, mapped.to_numpy(dtype=object), keys.to_numpy(dtype=object))
-            route = np.where(matched, ROUTE_OK, ROUTE_ORPHAN)
+            new_ids = pc.if_else(matched, mapped, keys)
+            route = pc.if_else(matched, pa.scalar(ROUTE_OK, pa.string()),
+                               pa.scalar(ROUTE_ORPHAN, pa.string()))
 
         t = batch
         if "orig_doc_id" not in t.column_names:
             t = t.append_column("orig_doc_id", t[self.key])
-        t = t.set_column(t.column_names.index(self.key), self.key, pa.array(new_ids, type=pa.string()))
-        if "source" in t.column_names and len(self.new_source):
-            s = keys.map(self.new_source)
-            have = s.notna().to_numpy()
-            src = np.where(have, s.to_numpy(dtype=object), t["source"].to_pandas().to_numpy(dtype=object))
-            t = t.set_column(t.column_names.index("source"), "source", pa.array(src, type=pa.string()))
+        t = t.set_column(t.column_names.index(self.key), self.key,
+                         new_ids.cast(pa.string()))
+        if "source" in t.column_names and self.map_new_source.null_count < len(self.map_new_source):
+            src_mapped = pc.take(self.map_new_source, pos)
+            src = pc.if_else(pc.is_valid(src_mapped), src_mapped, t["source"])
+            t = t.set_column(t.column_names.index("source"), "source",
+                             src.cast(pa.string()))
         if ROUTE_COL in t.column_names:
             # don't overwrite an existing dead_letter stamp
-            prev = np.asarray(t[ROUTE_COL])
-            route = np.where(prev == ROUTE_OK, route, prev)
-            t = t.set_column(t.column_names.index(ROUTE_COL), ROUTE_COL, pa.array(route, type=pa.string()))
+            prev = t[ROUTE_COL]
+            route = pc.if_else(pc.equal(prev, ROUTE_OK), route, prev)
+            t = t.set_column(t.column_names.index(ROUTE_COL), ROUTE_COL, route)
         else:
-            t = t.append_column(ROUTE_COL, pa.array(route, type=pa.string()))
+            t = t.append_column(ROUTE_COL, route)
         return t
 
 

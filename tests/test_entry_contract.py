@@ -72,15 +72,35 @@ def test_query_matches_oracle_sf0001(con, name):
 def test_driver_window_composition():
     """The driver's correctness gate hashes only the FIRST 50 queries()
     entries (verified round 3: CORRECTNESS_r03 keys == first 50). Guard
-    the managed-order invariants: the flagship pair leads, every round-4
-    addition sits inside the window, and every window entry except the
+    the managed-order invariants: the flagship CDC core leads, every
+    round-5 implementation change sits inside the window (must re-prove
+    under the driver's own oracle), and every window entry except the
     (by-design non-SQL) flagship token replay has an oracle."""
     qs = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
     window = qs[:50]
     assert window[0] == "cdc_replay_events"
     assert window[1] == "cdc_replay_tokens"
-    for name in ("cdc_schema_evolution", "cdc_resume_replay", "docs_repetition"):
+    for name in ("cdc_schema_evolution", "cdc_resume_replay",
+                 "events_impute_mean", "identity_substitute", "knn_brute",
+                 "ngram_jaccard"):
         assert name in window, name
     no_oracle = [n for n in window if n not in oracles]
     assert no_oracle == ["cdc_replay_tokens"], no_oracle
+
+
+def test_queries_literal_has_no_duplicate_keys():
+    """Window position = FIRST occurrence in the dict literal, but a later
+    duplicate key silently wins as the value — so a duplicate would make
+    window management lie. Parse the source and assert uniqueness."""
+    import ast
+    import inspect
+
+    tree = ast.parse(inspect.getsource(entrymod.queries))
+    dicts = [n for n in ast.walk(tree) if isinstance(n, ast.Dict)]
+    assert dicts, "queries() must return a dict literal"
+    keys = [k.value for d in dicts for k in d.keys if isinstance(k, ast.Constant)]
+    dupes = {k for k in keys if keys.count(k) > 1}
+    assert not dupes, f"duplicate queries() keys: {sorted(dupes)}"
+    # and the registry agrees with the literal (no computed keys hiding)
+    assert len(keys) == len(entrymod.queries())

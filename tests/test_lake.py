@@ -717,3 +717,73 @@ def test_midepoch_task_failure_then_rerun_commits_once(tmp_path, mode):
         assert on_disk == referenced, (
             f"orphan/duplicate run files: {sorted(on_disk - referenced)}"
         )
+
+
+@pytest.mark.parametrize("mode", ["l0", "shuffle"])
+def test_tail_forever_concurrent_writer(tmp_path, mode):
+    """Concurrent-writer ingest (VERDICT r4 §8 — the ListenDICOM
+    create-commit-rollback analog, `ListenDICOM.java:165-171`): a writer
+    thread appends segments via the documented WAL-writer contract
+    (write to a temp name, then ATOMIC rename into the log dir, names in
+    append order) while tail_forever is replaying. Every segment must be
+    applied exactly once across epochs — none lost, none double-applied —
+    and the converged state must equal the serial fold of all events."""
+    import shutil
+    import threading
+    import time as _time
+
+    from raycdc.tailer import tail_forever
+
+    base, staged_dir, all_events = make_log(tmp_path, seed=47, n_segments=6)
+    # stage the full changelog elsewhere; the LIVE log dir starts with
+    # only the first two segments (guarantees the tailer starts mid-stream)
+    log_dir = str(tmp_path / "live_log")
+    os.makedirs(log_dir)
+    staged = sorted(os.listdir(staged_dir))
+    assert len(staged) == 6
+
+    def publish(name: str):
+        tmp = os.path.join(log_dir, "." + name + ".tmp")
+        shutil.copyfile(os.path.join(staged_dir, name), tmp)
+        os.rename(tmp, os.path.join(log_dir, name))  # atomic commit
+
+    for name in staged[:2]:
+        publish(name)
+
+    stop_err = []
+
+    def writer():
+        try:
+            for name in staged[2:]:
+                _time.sleep(0.25)
+                publish(name)
+        except Exception as e:  # surfaces in the main thread's assert
+            stop_err.append(e)
+
+    lk = LakeTable(str(tmp_path / f"lake_{mode}"), num_partitions=8, commit_mode=mode)
+    lk.init()
+    seeded_lake(lk, base)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    try:
+        epochs = list(
+            tail_forever(lk, log_dir, poll_s=0.05, idle_timeout_s=3.0, batch_size=256)
+        )
+    finally:
+        th.join()
+    assert not stop_err, stop_err
+
+    # exactly-once across epochs: the union of per-epoch segment lists is
+    # disjoint and covers every published segment
+    seen: list[str] = []
+    for r in epochs:
+        seen.extend(r["segments"])
+    assert len(seen) == len(set(seen)), f"double-applied: {seen}"
+    assert sorted(seen) == staged
+    assert sorted(lk.manifest()["segments_applied"])[-6:] == staged
+    # mid-run pickup actually happened (not one big final epoch)
+    assert len(epochs) >= 2, [r["segments"] for r in epochs]
+    # a dot-prefixed temp name must never be visible to the tailer
+    assert not [f for f in os.listdir(log_dir) if f.startswith(".")]
+    assert_eq(collect(lk.read()), fold_events(base, all_events))
