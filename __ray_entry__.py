@@ -1300,6 +1300,22 @@ def q_multimodal_stats(sf_dir: str):
                        concurrency=(1, 2), batch_size=128)
 
 
+def q_audio_stats(sf_dir: str):
+    """Oracle-checkable REAL audio decode (the audio twin of
+    multimodal_stats): ramp-waveform RIFF PCM16 clips synthesized from
+    md5(doc_id) (samples[i] = s + i — see attach_gradient_audio), decoded
+    by the actor-pool stage, exact integer amplitude sums out. The SQL
+    oracle recomputes Σ(s+i) = n·s + n(n−1)/2 and Σ(s+i)² = n·s² +
+    s·n(n−1) + (n−1)n(2n−1)/6 from md5() hex."""
+    from raycdc.extras.multimodal import attach_gradient_audio, audio_stats
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.append_column("did", pc.cast(t["doc_id"], pa.string())), batch_format="pyarrow"
+    )
+    return audio_stats(attach_gradient_audio(docs, id_col="did"),
+                       concurrency=(1, 2), batch_size=128)
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (the stateful streaming-window operator):
     events of one user ≤30 min apart form a session; one row per session
@@ -3803,9 +3819,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "identity_substitute": q_identity_substitute,
         "knn_brute": q_knn_brute,
         "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        # first-ever oracle-checkable multimodal decode (new in round 5)
+        # first-ever oracle-checkable multimodal decodes (new in round 5)
         "multimodal_stats": q_multimodal_stats,
+        "audio_stats": q_audio_stats,
         # round-5 rotation: the never-driver-checked remainder (mirror-star
         # evidence only until now) takes the rest of the window
         "q14_promo_share": q14_promo_share,
@@ -3850,6 +3866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_quantile_hist": q_events_type_quantile_hist,
         # ---- driver window ends here (50 entries above) ----
         # driver-green in r04 (rotated out; lowest re-check priority first):
+        "dedup_clusters": q_dedup_clusters,
         "dedup_cluster_survivors": q_dedup_cluster_survivors,
         "events_hourly_window": q_events_hourly_window,
         "events_hopping_window": q_events_hopping_window,
@@ -4873,6 +4890,35 @@ def oracle_sql() -> dict[str, str]:
                    s_r + (w - 1) / 2.0 AS mean_r,
                    s_g + (w - 1) / 2.0 AS mean_g,
                    s_b + (w - 1) / 2.0 AS mean_b
+            FROM d
+        """,
+        # audio twin: ramp waveform samples[i] = s + i with n = 1000+4·b0,
+        # s = 16·b1 ⇒ Σ = n·s + n(n−1)/2, Σ² = n·s² + s·n(n−1) +
+        # (n−1)n(2n−1)/6 (all < 2^53: f64-exact through the casts)
+        "audio_stats": """
+            WITH hx AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents),
+            b AS (
+              SELECT media_id,
+                (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b0,
+                (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS b1
+              FROM hx),
+            d AS (
+              SELECT media_id,
+                     CAST(1000 + 4 * b0 AS BIGINT) AS n,
+                     CAST(16 * b1 AS BIGINT) AS s
+              FROM b)
+            SELECT media_id,
+                   n AS n_samples,
+                   CAST(16000 AS BIGINT) AS sample_rate,
+                   n * s + n * (n - 1) // 2 AS sum_amp,
+                   n * s * s + s * n * (n - 1)
+                     + (n - 1) * n * (2 * n - 1) // 6 AS sumsq_amp,
+                   s + (n - 1) / 2.0 AS mean_amp
             FROM d
         """,
         "docs_split": """

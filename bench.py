@@ -256,8 +256,12 @@ def run_scaling() -> dict:
         int(x) for x in os.environ.get("RAYCDC_SCALING_LEVELS", "8,32").split(",")
     )
     lo_n, hi_n = min(levels), max(levels)
-    # warm-up generation pass (untimed, also primes the OS page cache)
-    one(levels[0])
+    # warm-up generation pass (untimed, also primes the OS page cache);
+    # RAYCDC_SCALING_SKIP_WARMUP=1 skips it when the synth cache and page
+    # cache are already warm from a previous run this session — each
+    # skipped warm-up buys ~2.5 min of extra sampling inside a clean phase
+    if os.environ.get("RAYCDC_SCALING_SKIP_WARMUP", "") != "1":
+        one(levels[0])
     # phase gate: this host has multi-minute phases where page population
     # runs 3-5x slower (BASELINE.md — the probe-vs-efficiency correlation
     # table). Measuring inside one is measuring the host, not the engine,

@@ -127,10 +127,51 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return (rgb[::-1] if flip else rgb).copy()
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Canonical RIFF/WAVE PCM16 mono encoder — (n,) int16 → bytes.
+    Pure struct/numpy (the third public format the container handles
+    without a media library)."""
+    import struct
+
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    data = samples.tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono decoder — bytes → ((n,) int16, sample_rate).
+    Walks the chunk list (tolerates extra chunks); raises ValueError on
+    malformed/unsupported input (routes to the failure path)."""
+    import struct
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos:pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={fmt}, ch={ch}, bits={bits})")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("truncated WAV payload (missing fmt/data chunk)")
+    return samples.astype(np.int16, copy=False), rate
+
+
 # codec name (meta.codec) -> bytes → ndarray decoder. Extend via
 # register_decoder — e.g. register_decoder("jpeg", PIL_based_fn) where
-# image libraries exist.
-DECODERS: dict = {"ppm": decode_ppm, "bmp": decode_bmp}
+# image libraries exist. ("wav" decodes to (samples, rate) — audio
+# stages know the tuple shape.)
+DECODERS: dict = {"ppm": decode_ppm, "bmp": decode_bmp, "wav": decode_wav}
 
 
 def register_decoder(codec: str, fn) -> None:
@@ -245,6 +286,87 @@ def attach_gradient_media(ds: ray.data.Dataset, id_col: str = "doc_id",
         )
 
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+
+
+def attach_gradient_audio(ds: ray.data.Dataset, id_col: str = "doc_id",
+                          sample_rate: int = 16000) -> ray.data.Dataset:
+    """Audio twin of :func:`attach_gradient_media`: REAL RIFF PCM16
+    payloads whose waveform is a closed-form ramp of the row id —
+    ``samples[i] = s + i`` with ``s = md5_byte(id, 1) * 16`` and
+    ``n = 1000 + md5_byte(id, 0) * 4`` (max 4335 + 2019 < 32767: no
+    int16 wrap) — so a SQL oracle can recompute duration/sum/sumsq from
+    ``md5(doc_id)`` while the engine must decode the WAV bytes."""
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = [str(v) for v in t[id_col].to_pylist()]
+        payloads, metas = [], []
+        for i in ids:
+            seed = hashlib.md5(i.encode()).digest()
+            n = 1000 + seed[0] * 4
+            s = seed[1] * 16
+            samples = (s + np.arange(n, dtype=np.int32)).astype(np.int16)
+            payloads.append(encode_wav(samples, sample_rate))
+            metas.append({"width": 0, "height": 0, "sample_rate": sample_rate,
+                          "n_frames": n, "codec": "wav"})
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "kind": pa.array(["audio"] * len(ids)),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+
+
+class AudioStats:
+    """Actor-pool REAL-decode audio statistics: decode every WAV payload,
+    emit exact integer amplitude sums (n_samples/rate from the DECODED
+    stream, not metadata — a green oracle proves real decode).
+    ``mean_amp`` of the ramp waveform is a half-integer: f64-exact."""
+
+    def __init__(self, decoders: dict | None = None):
+        self.decoders = dict(DECODERS) if decoders is None else dict(decoders)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codecs = [m["codec"] for m in batch["meta"].to_pylist()]
+        ns, rates, sums, sumsqs = [], [], [], []
+        for payload, codec in zip(batch["payload"].to_pylist(), codecs):
+            dec = self.decoders.get(codec)
+            if dec is None:
+                raise _no_decoder(codec)
+            samples, rate = dec(bytes(payload))
+            a = samples.astype(np.int64)
+            ns.append(len(a))
+            rates.append(rate)
+            sums.append(int(a.sum()))
+            sumsqs.append(int((a * a).sum()))
+        n = np.array(ns, dtype=np.int64)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_samples": pa.array(n, pa.int64()),
+                "sample_rate": pa.array(np.array(rates, dtype=np.int64), pa.int64()),
+                "sum_amp": pa.array(np.array(sums, dtype=np.int64), pa.int64()),
+                "sumsq_amp": pa.array(np.array(sumsqs, dtype=np.int64), pa.int64()),
+                "mean_amp": pa.array(np.array(sums, dtype=np.int64) / n, pa.float64()),
+            }
+        )
+
+
+def audio_stats(ds: ray.data.Dataset, concurrency: int | tuple[int, int] = (1, 4),
+                batch_size: int = 128) -> ray.data.Dataset:
+    """Gradient-audio → real WAV decode → exact per-clip stats (the
+    oracle-checkable audio pipeline; see attach_gradient_audio)."""
+    return ds.map_batches(
+        AudioStats,
+        fn_constructor_kwargs={"decoders": dict(DECODERS)},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
 
 
 class MediaStats:

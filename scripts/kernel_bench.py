@@ -1,0 +1,97 @@
+"""Micro-bench for the two dedup kernels vectorized in round 5
+(VERDICT r4 task 3): candidate-pair generation and pair-Jaccard verify.
+Pure numpy/Arrow — no Ray session. Prints one JSON line per kernel with
+the speedup of the shipped vectorized kernel over the round-4
+Python-loop reference implementation (both produce identical output,
+asserted)."""
+
+from __future__ import annotations
+
+import itertools
+import json
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def timeit(fn, reps=5):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def bench_pairgen(m: int = 512) -> dict:
+    ids = pa.array(sorted(f"doc-{i:06d}" for i in range(m)))
+
+    def loop():  # round-4 path: to_pylist + itertools.combinations
+        py = ids.to_pylist()
+        a, b = zip(*itertools.combinations(py, 2))
+        return pa.table({"id_a": pa.array(a, ids.type), "id_b": pa.array(b, ids.type)})
+
+    def vec():  # shipped path (candidate_pairs_from_bands inner kernel)
+        ia, ib = np.triu_indices(m, k=1)
+        return pa.table({"id_a": ids.take(pa.array(ia)), "id_b": ids.take(pa.array(ib))})
+
+    t_loop, out_l = timeit(loop)
+    t_vec, out_v = timeit(vec)
+    assert out_l.equals(out_v)
+    return {"kernel": "lsh_bucket_pairgen", "bucket": m, "pairs": out_v.num_rows,
+            "loop_sec": round(t_loop, 4), "vec_sec": round(t_vec, 4),
+            "speedup": round(t_loop / t_vec, 1)}
+
+
+def bench_jaccard(n_pairs: int = 20000, grams: int = 40) -> dict:
+    rng = np.random.default_rng(7)
+    # unique u64 gram sets per side, ~50% overlap
+    base = rng.integers(0, 1 << 62, size=(n_pairs, grams), dtype=np.uint64)
+    fa = np.sort(base, axis=1).ravel()
+    fb = base.copy()
+    fb[:, : grams // 2] = rng.integers(0, 1 << 62, size=(n_pairs, grams // 2),
+                                       dtype=np.uint64)
+    fb = np.sort(fb, axis=1).ravel()
+    oa = np.arange(n_pairs + 1, dtype=np.int64) * grams
+    ob = oa.copy()
+
+    def loop():  # round-4 path: per-pair np.intersect1d
+        js = np.empty(n_pairs)
+        for i in range(n_pairs):
+            sa, sb = fa[oa[i]:oa[i + 1]], fb[ob[i]:ob[i + 1]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            js[i] = inter / max(1, len(sa) + len(sb) - inter)
+        return js
+
+    def vec():  # shipped path (verify_jaccard_pairs_ds score kernel)
+        from raycdc.extras.dedup import _segment_gather
+
+        va, la = _segment_gather(fa, oa)
+        vb, lb = _segment_gather(fb, ob)
+        p_all = np.concatenate([np.repeat(np.arange(n_pairs), la),
+                                np.repeat(np.arange(n_pairs), lb)])
+        g_all = np.concatenate([va, vb])
+        order = np.lexsort((g_all, p_all))
+        ps, gs = p_all[order], g_all[order]
+        first = np.empty(len(ps), dtype=bool)
+        first[0] = True
+        first[1:] = (ps[1:] != ps[:-1]) | (gs[1:] != gs[:-1])
+        union = np.bincount(ps[first], minlength=n_pairs).astype(np.int64)
+        inter = la + lb - union
+        return np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+
+    t_loop, js_l = timeit(loop, reps=3)
+    t_vec, js_v = timeit(vec, reps=3)
+    assert np.allclose(js_l, js_v)
+    return {"kernel": "pair_jaccard_verify", "pairs": n_pairs, "grams_per_side": grams,
+            "loop_sec": round(t_loop, 4), "vec_sec": round(t_vec, 4),
+            "speedup": round(t_loop / t_vec, 1)}
+
+
+if __name__ == "__main__":
+    print(json.dumps(bench_pairgen()))
+    print(json.dumps(bench_jaccard()))

@@ -1011,3 +1011,47 @@ def test_multimodal_pil_codecs_when_available():
     buf = io.BytesIO()
     Image.fromarray(pix).save(buf, format="PNG")
     assert (DECODERS["png"](buf.getvalue()) == pix).all()
+
+
+def test_multimodal_wav_roundtrip_and_audio_stats():
+    """Third real codec: RIFF PCM16 WAV — encode → registry decode
+    round-trip (chunk walking, word alignment), then the oracle-checkable
+    AudioStats path: ramp clips from md5(doc_id), REAL decode, exact
+    integer amplitude sums matching the closed form (the same arithmetic
+    the audio_stats DuckDB oracle recomputes)."""
+    import hashlib
+
+    import numpy as np
+
+    from raycdc.extras.multimodal import (
+        attach_gradient_audio,
+        audio_stats,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    for n in (1, 7, 1024):
+        s = rng.integers(-32768, 32767, n).astype(np.int16)
+        got, rate = decode_wav(encode_wav(s, 22050))
+        assert rate == 22050 and (got == s).all(), n
+    # odd-sized data chunk exercises word alignment via an extra chunk
+    extra = encode_wav(np.array([1, 2, 3], dtype=np.int16)) + b"LIST\x04\x00\x00\x00INFO"
+    got, rate = decode_wav(extra)
+    assert (got == [1, 2, 3]).all() and rate == 16000
+    with pytest.raises(ValueError, match="WAVE"):
+        decode_wav(b"nonsense")
+
+    ids = [f"clip-{i}" for i in range(5)]
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    out = collect(audio_stats(attach_gradient_audio(docs), concurrency=2, batch_size=2))
+    rows = {r["media_id"]: r for r in out.to_pylist()}
+    for i in ids:
+        seed = hashlib.md5(i.encode()).digest()
+        n, s = 1000 + seed[0] * 4, seed[1] * 16
+        samples = s + np.arange(n, dtype=np.int64)
+        r = rows[i]
+        assert r["n_samples"] == n and r["sample_rate"] == 16000
+        assert r["sum_amp"] == samples.sum()
+        assert r["sumsq_amp"] == (samples * samples).sum()
+        assert r["mean_amp"] == samples.sum() / n

@@ -753,10 +753,15 @@ def test_tail_forever_concurrent_writer(tmp_path, mode):
     stop_err = []
 
     def writer():
+        # exercises the library's publish_segment contract helper (the
+        # copy+rename above is the same contract hand-rolled)
+        from raycdc.tailer import publish_segment
+
         try:
             for name in staged[2:]:
                 _time.sleep(0.25)
-                publish(name)
+                publish_segment(log_dir, name,
+                                pq.read_table(os.path.join(staged_dir, name)))
         except Exception as e:  # surfaces in the main thread's assert
             stop_err.append(e)
 
