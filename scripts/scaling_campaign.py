@@ -40,7 +40,7 @@ BUDGET_S = float(os.environ.get("RAYCDC_CAMPAIGN_BUDGET_S", "7200"))
 PROBE_SLEEP_S = float(os.environ.get("RAYCDC_CAMPAIGN_PROBE_SLEEP_S", "90"))
 
 
-def run_scaling(levels: str, rounds: int) -> dict | None:
+def run_scaling(levels: str, rounds: int, passes: int | None = None) -> dict | None:
     env = dict(
         os.environ,
         RAYCDC_SCALING_LEVELS=levels,
@@ -49,6 +49,11 @@ def run_scaling(levels: str, rounds: int) -> dict | None:
         RAYCDC_SCALING_SKIP_WARMUP="1",
         RAYCDC_SCALING_GATE_EACH="0",
     )
+    if passes is not None:
+        # single-pass subprocesses during short pristine windows: the
+        # POOL min across subprocesses replaces min-of-N within one, and
+        # each window yields ~2x the samples (windows decay in minutes)
+        env["RAYCDC_BENCH_PASSES"] = str(passes)
     open(LOCK, "w").write(f"{levels} rounds={rounds} at {time.time()}\n")
     try:
         p = subprocess.run(
@@ -66,30 +71,35 @@ def run_scaling(levels: str, rounds: int) -> dict | None:
 
 def main() -> None:
     t0 = time.time()
-    # tiered phases (round-5 finding: sec_32 at probe ~2200 lands ~45 s
-    # vs the 36.76 s floor sampled at probe 3338 — only PRISTINE phases
-    # can move the pooled 32-cpu minimum, while same-phase PAIRS are
-    # valid per-pair evidence even in marginal phases):
-    #   probe >= PRISTINE  -> 32-only burst (chase the pooled floor)
-    #   probe >= ALLOC_THR -> alternating 8/32 and 4/16 gated pairs
-    pristine = float(os.environ.get("RAYCDC_CAMPAIGN_PRISTINE_MB", "3000"))
-    pair_plan = [("8,32", 1), ("4,16", 1)]
+    # round-5 finding #2: the alloc probe does NOT predict sample quality
+    # (a 4467 MB/s gate yielded 44-52 s sec_32 samples; the phase
+    # granularity is shorter than one sample), so there is no "pristine"
+    # tier worth waiting for — above the base threshold, just cycle the
+    # sample shapes. 4/16 leads: the 16-cpu level dodges the host's
+    # 32-way allocation anti-scaling, so N->4N pairs there reflect the
+    # engine (projected ~0.9); 16-only bursts tighten that pooled
+    # minimum cheaply; 8/32 and 32-only keep feeding the original pool.
+    pair_plan = [("4,16", 1), ("16", 2), ("8,32", 1), ("32", 3),
+                 ("4,16", 1), ("16", 2)]
     i = 0
     while time.time() - t0 < BUDGET_S:
+        if os.path.exists(LOCK):
+            # someone else's Ray work holds the box (mirror/bench run) —
+            # don't probe or sample under it (the lock is bidirectional)
+            time.sleep(30)
+            continue
         probe = bench.measure_alloc_bandwidth(32)
         stamp = time.strftime("%H:%M:%S")
         if probe < ALLOC_THR:
             print(f"[{stamp}] probe {probe} MB/s < {ALLOC_THR}; waiting", flush=True)
             time.sleep(PROBE_SLEEP_S)
             continue
-        if probe >= pristine:
-            levels, rounds = "32", 3
-        else:
-            levels, rounds = pair_plan[i % len(pair_plan)]
-            i += 1
-        print(f"[{stamp}] probe {probe} MB/s CLEAN -> sampling {levels} x{rounds}",
-              flush=True)
-        r = run_scaling(levels, rounds)
+        levels, rounds = pair_plan[i % len(pair_plan)]
+        i += 1
+        passes = 1 if "," not in levels else None  # bursts: 1 pass/subprocess
+        print(f"[{stamp}] probe {probe} MB/s CLEAN -> sampling {levels} x{rounds}"
+              f" passes={passes}", flush=True)
+        r = run_scaling(levels, rounds, passes)
         if r is not None:
             r["pre_probe_alloc32_mb_s"] = probe
             r["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
