@@ -361,6 +361,18 @@ def run_scaling() -> dict:
             ),
             "pooled_samples": len(allsamp),
         }
+        # always also report BOTH canonical N->4N pair instantiations
+        # from the pool, whatever levels THIS run sampled: the rule says
+        # "N and 4N nodes" and this host distorts the two pairs
+        # differently (its 32-way allocation anti-scaling inflates
+        # sec_32 but not sec_16 — BASELINE.md round-5 section), so a
+        # single-pair report would under- or over-state the engine.
+        for a, b in ((8, 32), (4, 16)):
+            sa = [s["sec"] for s in allsamp if s["ncpu"] == a]
+            sb = [s["sec"] for s in allsamp if s["ncpu"] == b]
+            if sa and sb:
+                pooled[f"pooled_eff_{a}_{b}"] = round(
+                    (min(sa) / min(sb)) / (b / a), 3)
     except (OSError, ValueError):
         pooled = {}
     # two-point decomposition t(c) = B + W/c: W = CPU-scalable work,
