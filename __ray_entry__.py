@@ -1316,6 +1316,25 @@ def q_audio_stats(sf_dir: str):
                        concurrency=(1, 2), batch_size=128)
 
 
+def q_video_stats(sf_dir: str):
+    """Oracle-checkable REAL video decode + frame sampling (completes the
+    image/audio/video ★ triple): RVID containers of 2–8 gradient BMP
+    frames synthesized from md5(doc_id) (pix[f][y,x,c] = s_c + x + f —
+    see attach_gradient_video), container-walked and every-2nd-frame
+    decoded by the actor-pool stage, exact integer channel sums over the
+    SAMPLED frames out. The SQL oracle recomputes the closed form —
+    k = (F+1)//2 sampled frames, Σ_sampled f = k(k−1) — from md5() hex,
+    so a hash-match proves the container walk, the per-frame BMP decode,
+    AND the sampling schedule."""
+    from raycdc.extras.multimodal import attach_gradient_video, video_stats
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.append_column("did", pc.cast(t["doc_id"], pa.string())), batch_format="pyarrow"
+    )
+    return video_stats(attach_gradient_video(docs, id_col="did"),
+                       every_n=2, concurrency=(1, 2), batch_size=128)
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (the stateful streaming-window operator):
     events of one user ≤30 min apart form a session; one row per session
@@ -3822,6 +3841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first-ever oracle-checkable multimodal decodes (new in round 5)
         "multimodal_stats": q_multimodal_stats,
         "audio_stats": q_audio_stats,
+        "video_stats": q_video_stats,
         # round-5 rotation: the never-driver-checked remainder (mirror-star
         # evidence only until now) takes the rest of the window
         "q14_promo_share": q14_promo_share,
@@ -4920,6 +4940,55 @@ def oracle_sql() -> dict[str, str]:
                      + (n - 1) * n * (2 * n - 1) // 6 AS sumsq_amp,
                    s + (n - 1) / 2.0 AS mean_amp
             FROM d
+        """,
+        # video triple-closer: F = 2 + b5 % 7 frames of w×h gradients
+        # (w/h = 8 + b0/b1 % 24, s_c = b_{2+c} % 128, pix = s_c + x + f);
+        # sampling every 2nd frame ⇒ k = (F+1)//2, Σ_sampled f = k(k−1)
+        # ⇒ sum_c = k·h·(w·s_c + w(w−1)/2) + h·w·k(k−1), mean_c =
+        # s_c + (w−1)/2 + (k−1) (exact half-integers: f64-exact)
+        "video_stats": """
+            WITH hx AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents),
+            b AS (
+              SELECT media_id,
+                (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b0,
+                (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS b1,
+                (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(h, 6, 1)) - 1 AS b2,
+                (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(h, 8, 1)) - 1 AS b3,
+                (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(h, 10, 1)) - 1 AS b4,
+                (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(h, 12, 1)) - 1 AS b5
+              FROM hx),
+            d AS (
+              SELECT media_id,
+                     8 + b0 % 24 AS w, 8 + b1 % 24 AS hh,
+                     b2 % 128 AS s_r, b3 % 128 AS s_g, b4 % 128 AS s_b,
+                     2 + b5 % 7 AS f
+              FROM b),
+            e AS (
+              SELECT *, (f + 1) // 2 AS k FROM d)
+            SELECT media_id,
+                   CAST(f AS BIGINT) AS n_frames,
+                   CAST(k AS BIGINT) AS n_sampled,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(hh AS BIGINT) AS height,
+                   CAST(k * hh * (w * s_r + w * (w - 1) // 2)
+                        + hh * w * k * (k - 1) AS BIGINT) AS sum_r,
+                   CAST(k * hh * (w * s_g + w * (w - 1) // 2)
+                        + hh * w * k * (k - 1) AS BIGINT) AS sum_g,
+                   CAST(k * hh * (w * s_b + w * (w - 1) // 2)
+                        + hh * w * k * (k - 1) AS BIGINT) AS sum_b,
+                   s_r + (w - 1) / 2.0 + (k - 1) AS mean_r,
+                   s_g + (w - 1) / 2.0 + (k - 1) AS mean_g,
+                   s_b + (w - 1) / 2.0 + (k - 1) AS mean_b
+            FROM e
         """,
         "docs_split": """
             SELECT doc_id,

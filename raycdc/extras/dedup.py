@@ -344,25 +344,22 @@ def verify_jaccard_pairs_ds(
         oa = np.asarray(a.offsets, dtype=np.int64)
         fb = b.values.to_numpy(zero_copy_only=False).view(np.uint64)
         ob = np.asarray(b.offsets, dtype=np.int64)
-        # vectorized across ALL pairs (no per-pair Python loop): each
-        # side's gram set is unique per doc, so |A∩B| = |A|+|B|−|A∪B|
-        # and |A∪B| is a per-pair DISTINCT count — one lexsort of the
-        # tagged (pair, gram) stream, then count segment boundaries.
-        va, la = _segment_gather(fa, oa)
-        vb, lb = _segment_gather(fb, ob)
-        p_all = np.concatenate([np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)])
-        g_all = np.concatenate([va, vb])
-        order = np.lexsort((g_all, p_all))
-        ps, gs = p_all[order], g_all[order]
-        if len(ps):
-            first = np.empty(len(ps), dtype=bool)
-            first[0] = True
-            first[1:] = (ps[1:] != ps[:-1]) | (gs[1:] != gs[:-1])
-            union = np.bincount(ps[first], minlength=n).astype(np.int64)
-        else:
-            union = np.zeros(n, dtype=np.int64)
-        inter = la + lb - union
-        js = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+        # per-pair numpy intersect on the flat buffers. MEASURED choice
+        # (scripts/kernel_bench.py, BASELINE.md round-5 kernel table): a
+        # "fully vectorized" variant — lexsort of the tagged (pair, gram)
+        # stream + segment-boundary distinct counts — is 8-25x SLOWER at
+        # every realistic shape (u64 comparison lexsort dominates; the
+        # per-pair np.intersect1d on tiny unique sets is C-speed with
+        # only ~5 µs/pair call overhead), so the loop over PAIRS (not
+        # rows/grams: the candidate set is orders smaller than the
+        # corpus) is the fast kernel here.
+        js = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            sa = fa[oa[i]:oa[i + 1]]
+            sb = fb[ob[i]:ob[i + 1]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            js[i] = 1.0 if union == 0 else inter / union
         keep = js >= threshold
         mask = pa.array(keep)
         return pa.table({

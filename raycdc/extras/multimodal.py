@@ -167,11 +167,50 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples.astype(np.int16, copy=False), rate
 
 
+def encode_rvid(frames: list[np.ndarray]) -> bytes:
+    """Minimal real video container — list of (h, w, 3) uint8 frames →
+    bytes: ``RVID`` magic + u32 frame count, then one length-prefixed
+    BMP per frame (the fourth pure-Python format the container handles
+    without a media library; a real byte-level chunk walk on decode)."""
+    import struct
+
+    parts = [b"RVID", struct.pack("<I", len(frames))]
+    for f in frames:
+        bmp = encode_bmp(f)
+        parts.append(struct.pack("<I", len(bmp)))
+        parts.append(bmp)
+    return b"".join(parts)
+
+
+def decode_rvid(data: bytes) -> list[np.ndarray]:
+    """RVID decoder — bytes → list of (h, w, 3) uint8 frames. Raises
+    ValueError on malformed/truncated input (routes to the failure
+    path)."""
+    import struct
+
+    if len(data) < 8 or data[:4] != b"RVID":
+        raise ValueError("not an RVID payload")
+    n = struct.unpack_from("<I", data, 4)[0]
+    pos, frames = 8, []
+    for _ in range(n):
+        if pos + 4 > len(data):
+            raise ValueError("truncated RVID payload (missing frame header)")
+        size = struct.unpack_from("<I", data, pos)[0]
+        pos += 4
+        if pos + size > len(data):
+            raise ValueError("truncated RVID payload (short frame)")
+        frames.append(decode_bmp(data[pos:pos + size]))
+        pos += size
+    return frames
+
+
 # codec name (meta.codec) -> bytes → ndarray decoder. Extend via
 # register_decoder — e.g. register_decoder("jpeg", PIL_based_fn) where
 # image libraries exist. ("wav" decodes to (samples, rate) — audio
-# stages know the tuple shape.)
-DECODERS: dict = {"ppm": decode_ppm, "bmp": decode_bmp, "wav": decode_wav}
+# stages know the tuple shape; "rvid" to a list of frames — video
+# stages know the list shape.)
+DECODERS: dict = {"ppm": decode_ppm, "bmp": decode_bmp, "wav": decode_wav,
+                  "rvid": decode_rvid}
 
 
 def register_decoder(codec: str, fn) -> None:
@@ -318,6 +357,110 @@ def attach_gradient_audio(ds: ray.data.Dataset, id_col: str = "doc_id",
         )
 
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+
+
+def attach_gradient_video(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+    """Video twin of :func:`attach_gradient_media`: REAL RVID payloads of
+    2–8 gradient BMP frames, closed-form in the row id —
+    ``pix[f][y, x, c] = s_c + x + f`` with ``s_c = md5_byte(id, 2+c) %
+    128``, ``w/h = 8 + md5_byte(id, 0/1) % 24`` and ``n_frames = 2 +
+    md5_byte(id, 5) % 7`` (no uint8 wrap: 127 + 30 + 7 < 256) — so a SQL
+    oracle can recompute per-video statistics INCLUDING the frame-sample
+    schedule from ``md5(doc_id)`` while the engine must walk the
+    container and decode every sampled frame."""
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = [str(v) for v in t[id_col].to_pylist()]
+        payloads, metas = [], []
+        for i in ids:
+            seed = hashlib.md5(i.encode()).digest()
+            w, h = 8 + seed[0] % 24, 8 + seed[1] % 24
+            s = np.array([seed[2] % 128, seed[3] % 128, seed[4] % 128], dtype=np.uint8)
+            nf = 2 + seed[5] % 7
+            base = (s[None, None, :] + np.arange(w, dtype=np.uint8)[None, :, None]
+                    ) * np.ones((h, 1, 1), dtype=np.uint8)
+            payloads.append(encode_rvid([base + np.uint8(f) for f in range(nf)]))
+            metas.append({"width": w, "height": h, "sample_rate": 0,
+                          "n_frames": nf, "codec": "rvid"})
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "kind": pa.array(["video"] * len(ids)),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "meta": pa.array(metas, type=MEDIA_SCHEMA.field("meta").type),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
+
+
+class VideoStats:
+    """Actor-pool REAL-decode video statistics with frame sampling:
+    walk the RVID container, decode every ``every_n``-th frame (indices
+    0, every_n, … — the classic frame-sample schedule), and emit exact
+    integer channel sums over the SAMPLED frames. Frame count and
+    dimensions come from the DECODED container, not metadata, so a green
+    oracle proves both the byte-level container walk and the per-frame
+    BMP decode. Means of the gradient synthesis are exact half-integers:
+    f64-exact against the SQL closed form."""
+
+    def __init__(self, every_n: int = 2, decoders: dict | None = None):
+        self.every_n = every_n
+        self.decoders = dict(DECODERS) if decoders is None else dict(decoders)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codecs = [m["codec"] for m in batch["meta"].to_pylist()]
+        nfs, nss, ws, hs, sums = [], [], [], [], []
+        for payload, codec in zip(batch["payload"].to_pylist(), codecs):
+            dec = self.decoders.get(codec)
+            if dec is None:
+                raise _no_decoder(codec)
+            frames = dec(bytes(payload))
+            sampled = frames[:: self.every_n]
+            nfs.append(len(frames))
+            nss.append(len(sampled))
+            hs.append(sampled[0].shape[0])
+            ws.append(sampled[0].shape[1])
+            acc = np.zeros(3, dtype=np.int64)
+            for f in sampled:
+                acc += f.astype(np.int64).sum(axis=(0, 1))
+            sums.append(acc)
+        s = np.array(sums, dtype=np.int64).reshape(len(ws), 3)
+        w = np.array(ws, dtype=np.int64)
+        h = np.array(hs, dtype=np.int64)
+        k = np.array(nss, dtype=np.int64)
+        n = (k * w * h).astype(np.float64)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_frames": pa.array(np.array(nfs, dtype=np.int64), pa.int64()),
+                "n_sampled": pa.array(k, pa.int64()),
+                "width": pa.array(w, pa.int64()),
+                "height": pa.array(h, pa.int64()),
+                "sum_r": pa.array(s[:, 0], pa.int64()),
+                "sum_g": pa.array(s[:, 1], pa.int64()),
+                "sum_b": pa.array(s[:, 2], pa.int64()),
+                "mean_r": pa.array(s[:, 0] / n, pa.float64()),
+                "mean_g": pa.array(s[:, 1] / n, pa.float64()),
+                "mean_b": pa.array(s[:, 2] / n, pa.float64()),
+            }
+        )
+
+
+def video_stats(ds: ray.data.Dataset, every_n: int = 2,
+                concurrency: int | tuple[int, int] = (1, 4),
+                batch_size: int = 128) -> ray.data.Dataset:
+    """Gradient-video → container walk + sampled-frame real decode →
+    exact per-video stats (the oracle-checkable video pipeline; see
+    attach_gradient_video)."""
+    return ds.map_batches(
+        VideoStats,
+        fn_constructor_kwargs={"every_n": every_n, "decoders": dict(DECODERS)},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
 
 
 class AudioStats:

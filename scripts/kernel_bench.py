@@ -1,9 +1,18 @@
-"""Micro-bench for the two dedup kernels vectorized in round 5
+"""Micro-bench for the two dedup kernels revisited in round 5
 (VERDICT r4 task 3): candidate-pair generation and pair-Jaccard verify.
-Pure numpy/Arrow — no Ray session. Prints one JSON line per kernel with
-the speedup of the shipped vectorized kernel over the round-4
-Python-loop reference implementation (both produce identical output,
-asserted)."""
+Pure numpy/Arrow — no Ray session; identical output asserted per kernel.
+
+Outcome (this bench DROVE the shipped choice, both kernels):
+- pair GENERATION: np.triu_indices + two Arrow takes is ~26x faster
+  than to_pylist + itertools.combinations — the vectorized form SHIPS
+  (candidate_pairs_from_bands).
+- pair-Jaccard VERIFY: the "fully vectorized" lexsort-of-tagged-stream
+  form measured 8-25x SLOWER than the per-pair np.intersect1d loop at
+  every realistic shape (20k-100k pairs x 40-1000 grams; the u64
+  comparison lexsort dominates, while intersect1d on tiny unique sets
+  is C-speed with ~5 us/pair overhead). The loop SHIPS
+  (verify_jaccard_pairs_ds); the rejected variant is kept here as the
+  measured counter-example."""
 
 from __future__ import annotations
 
@@ -59,7 +68,7 @@ def bench_jaccard(n_pairs: int = 20000, grams: int = 40) -> dict:
     oa = np.arange(n_pairs + 1, dtype=np.int64) * grams
     ob = oa.copy()
 
-    def loop():  # round-4 path: per-pair np.intersect1d
+    def loop():  # SHIPPED path (verify_jaccard_pairs_ds score kernel)
         js = np.empty(n_pairs)
         for i in range(n_pairs):
             sa, sb = fa[oa[i]:oa[i + 1]], fb[ob[i]:ob[i + 1]]
@@ -67,7 +76,7 @@ def bench_jaccard(n_pairs: int = 20000, grams: int = 40) -> dict:
             js[i] = inter / max(1, len(sa) + len(sb) - inter)
         return js
 
-    def vec():  # shipped path (verify_jaccard_pairs_ds score kernel)
+    def vec():  # REJECTED round-5 variant: lexsort of the tagged stream
         from raycdc.extras.dedup import _segment_gather
 
         va, la = _segment_gather(fa, oa)
@@ -88,8 +97,9 @@ def bench_jaccard(n_pairs: int = 20000, grams: int = 40) -> dict:
     t_vec, js_v = timeit(vec, reps=3)
     assert np.allclose(js_l, js_v)
     return {"kernel": "pair_jaccard_verify", "pairs": n_pairs, "grams_per_side": grams,
-            "loop_sec": round(t_loop, 4), "vec_sec": round(t_vec, 4),
-            "speedup": round(t_loop / t_vec, 1)}
+            "shipped_loop_sec": round(t_loop, 4),
+            "rejected_lexsort_sec": round(t_vec, 4),
+            "shipped_speedup_over_rejected": round(t_vec / t_loop, 1)}
 
 
 if __name__ == "__main__":

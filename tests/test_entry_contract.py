@@ -83,7 +83,8 @@ def test_driver_window_composition():
     assert window[1] == "cdc_replay_tokens"
     for name in ("cdc_schema_evolution", "cdc_resume_replay",
                  "events_impute_mean", "identity_substitute", "knn_brute",
-                 "ngram_jaccard"):
+                 "ngram_jaccard", "multimodal_stats", "audio_stats",
+                 "video_stats"):
         assert name in window, name
     no_oracle = [n for n in window if n not in oracles]
     assert no_oracle == ["cdc_replay_tokens"], no_oracle

@@ -992,6 +992,54 @@ def test_multimodal_gradient_media_stats_closed_form():
             assert r[f"mean_{c}"] == s + (w - 1) / 2.0, (i, c)
 
 
+def test_multimodal_rvid_roundtrip_and_video_stats():
+    """Fourth real codec: the RVID frame container — encode → registry
+    decode round-trip (length-prefixed BMP chunk walk), truncation
+    raises, then the oracle-checkable VideoStats path: 2-8 gradient
+    frames from md5(doc_id), container walk + every-2nd-frame REAL
+    decode, exact integer channel sums over the SAMPLED frames matching
+    the closed form (the same arithmetic the video_stats DuckDB oracle
+    recomputes — including the sampling schedule k = (F+1)//2)."""
+    import hashlib
+
+    import numpy as np
+
+    from raycdc.extras.multimodal import (
+        attach_gradient_video,
+        decode_rvid,
+        encode_rvid,
+        video_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 255, (9, 13, 3)).astype(np.uint8) for _ in range(4)]
+    back = decode_rvid(encode_rvid(frames))
+    assert len(back) == 4 and all((a == b).all() for a, b in zip(frames, back))
+    with pytest.raises(ValueError, match="RVID"):
+        decode_rvid(b"nonsense")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_rvid(encode_rvid(frames)[:-5])
+
+    ids = [f"vid-{i}" for i in range(7)]
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    out = collect(
+        video_stats(attach_gradient_video(docs), every_n=2, concurrency=2, batch_size=2)
+    )
+    rows = {r["media_id"]: r for r in out.to_pylist()}
+    for i in ids:
+        seed = hashlib.md5(i.encode()).digest()
+        w, h = 8 + seed[0] % 24, 8 + seed[1] % 24
+        nf = 2 + seed[5] % 7
+        k = (nf + 1) // 2
+        r = rows[i]
+        assert (r["n_frames"], r["n_sampled"]) == (nf, k)
+        assert (r["width"], r["height"]) == (w, h)
+        for ch, c in enumerate("rgb"):
+            s = seed[2 + ch] % 128
+            assert r[f"sum_{c}"] == k * h * (w * s + w * (w - 1) // 2) + h * w * k * (k - 1), (i, c)
+            assert r[f"mean_{c}"] == s + (w - 1) / 2.0 + (k - 1), (i, c)
+
+
 def test_multimodal_pil_codecs_when_available():
     """PIL plug point (VERDICT r4 §4): when Pillow is importable the
     registry decodes real PNG bytes; skipped (not failed) in containers
